@@ -1,0 +1,3 @@
+"""Session builders and tuning profiles."""
+
+from .session import get_spark, stop_spark  # noqa: F401

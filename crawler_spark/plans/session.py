@@ -1,0 +1,53 @@
+"""SparkSession builder tuned for the crawl engine.
+
+Local-mode knobs follow the sandbox (local[N], single JVM); the same
+config block is what a `spark-submit --py-files` cluster run would use,
+minus master/memory which come from the cluster manager.
+
+Scale posture (100 TB / 1000 executors):
+  * AQE on — runtime coalescing, skew-join splitting (mega-hosts).
+  * Arrow on — every Python crossing is a vectorized batch.
+  * shuffle.partitions sized to cores locally; on a real cluster this
+    is overridden per-job to ~2-3x total cores (AQE coalesces down).
+  * UTC session TZ so DuckDB-oracle comparisons are stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "crawler_spark", cores: int | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
