@@ -1,0 +1,105 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the frontier
+crawl itself on a generated synthetic web. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ...,
+ "frontier": {urls, sec, urls_per_sec}}.
+
+Scaling-efficiency evidence (north rule, two cluster sizes) lives in
+tools/bench_scaling.py, which runs the same frontier job at two local
+parallelism levels in separate JVMs and reports
+eff = T_large/(ratio × T_small); results are recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline subset: the shuffle/join/window/UDF-heavy representatives
+HEADLINE = [
+    "url_canonicalize", "seen_anti_join", "politeness_budget",
+    "asof_attribution", "modal_scoring", "dedup_window", "region_rollup",
+    "dedup_exact", "token_jaccard", "trigram_jaccard", "minhash_lsh",
+    "simhash_pairs", "lang_id", "quality", "cosine_pairs", "ann_topk",
+    "lsh_ann", "image_phash_dedup", "image_thumbnail",
+]
+
+BENCH_WEB_DIR = os.environ.get("SPARK_GRAFT_BENCH_WEB",
+                               "/tmp/crawler_spark_bench/t-correct")
+
+
+def ensure_bench_web() -> str:
+    """Generate (once, cached) the t-correct synthetic web: 100k URLs,
+    100 hosts, one mega-host with ~50% of pages."""
+    marker = os.path.join(BENCH_WEB_DIR, "web_pages.parquet")
+    if not os.path.exists(marker):
+        from crawler_spark.sources.fixtures import generate
+
+        generate("t-correct", BENCH_WEB_DIR)
+    return BENCH_WEB_DIR
+
+
+def run_frontier_bench(spark, max_depth: int = 8) -> dict:
+    """The engine's own metric: URLs scheduled+fetched per second on
+    the synthetic frontier (explore + DFS resolve, end to end)."""
+    from crawler_spark.engine.config import CrawlConfig
+    from crawler_spark.engine.frontier import FrontierEngine, fresh_ckpt
+
+    web = ensure_bench_web()
+    cfg = CrawlConfig(max_depth=max_depth, rate_limit=10_000,
+                      batch_window_ms=1000)
+    ck = fresh_ckpt("/tmp/crawler_spark_bench/ckpt")
+    t0 = time.time()
+    eng = FrontierEngine(spark, cfg, web, ck)
+    visits = eng.run()
+    n = visits.count()
+    dt = time.time() - t0
+    return {"urls": n, "sec": round(dt, 2),
+            "urls_per_sec": round(n / dt, 1)}
+
+
+def main() -> None:
+    from crawler_spark.plans.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    qs = entry.queries()
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+
+    frontier = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_FRONTIER", "") != "1":
+        frontier = run_frontier_bench(spark)
+        print(f"# frontier: {frontier}", file=sys.stderr)
+
+    out = {
+        "metric": "headline query suite + frontier crawl wall time",
+        "value": round(total + float(frontier.get("sec", 0.0)), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR,
+        "frontier": frontier,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,437 @@
+"""The distributed URL frontier + fetch scheduler — the engine core.
+
+Re-expresses the reference's crawl loop
+(/root/reference/lib/crawler/crawler-engine.ts:417-716) Spark-first.
+The reference's crawl ORDER is sequential DFS preorder (parent awaits
+each child chain before the next sibling, crawler-engine.ts:673-695)
+with the URL-seen set claimed at schedule time (:556). Exact DFS is
+P-complete — inherently sequential — so the engine splits it:
+
+  1. EXPLORE — parallel speculative micro-batch exploration. Each
+     round selects a politeness-budgeted batch from the frontier,
+     "fetches" it (a join against the synthetic web table here; a
+     `mapInPandas` HTTP stage on a real cluster), extracts + admits
+     candidate links (tag filter → sample slice → hygiene → native
+     canonicalization → domain/robots filters), and appends
+     fetched/edges/errors/image-ref rows to the checkpoint. This
+     fetches the BFS-reachable admissible superset of the DFS visit
+     set (every DFS chain prefix is BFS-reachable at ≤ its chain
+     depth), so all edges the DFS needs are discovered. Fetching —
+     the expensive part at 10^10 URLs — is thereby fully parallel.
+
+  2. RESOLVE — deterministic DFS-claim resolution: each URL is
+     claimed by the lexicographically smallest priority vector
+     (parent's vector ++ link_index, fixed-width hex so string
+     comparison = lexicographic order) among calls from claimed
+     pages, computed as an iterative full-recompute fixpoint of
+     DataFrame joins (≈ max_depth + small-slack rounds; claims form
+     chains of length ≤ max_depth rooted at the seeds, so the
+     fixpoint is unique and equals the sequential DFS — verified
+     against the oracle simulator in tests/test_crawl_golden.py).
+     Sorting claims by priority vector reproduces the reference's
+     visit order exactly; the claim set IS the reference's URL-seen
+     set.
+
+Scale posture (10^10 URLs / 1000 executors):
+  * frontier/fetched/edges are hash-partitioned by xxhash64(url);
+    the per-round anti-join (candidates ⋈ fetched) is the J1
+    scale-critical join — AQE + optional bloom pre-filter
+    (crawler_spark.operators.bloom) prune it.
+  * robots and the allowed-host list are broadcast (small dims).
+  * the per-host politeness window is skew-prone (mega-hosts);
+    rows are salted by pmod(url_hash, S) inside a host before the
+    per-host rank so no single task sees a whole mega-host
+    (cfg.rate_limit budget is split across salts).
+  * resolve is ~max_depth shuffles over the edge set — linear in
+    |edges|, partitioned by child URL.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.urls import canonicalize_url, url_hash, url_host, url_path
+from .config import PRIO_WIDTH, CrawlConfig, prio_component
+
+_HEX_W = PRIO_WIDTH
+
+
+def _hex_prio(idx_col):
+    """Fixed-width lowercase hex of an int column (prio component)."""
+    return F.lpad(F.lower(F.hex(idx_col)), _HEX_W, "0")
+
+
+# ---------------------------------------------------------------------------
+# admission (F2-F5) as reusable native expressions
+# ---------------------------------------------------------------------------
+
+def admit(df: DataFrame, url_col: str, robots: DataFrame,
+          allowed_hosts: list[str], cfg: CrawlConfig) -> DataFrame:
+    """Filter *df* to admissible URLs (already canonical): http(s)
+    scheme, domain restriction (F4), robots disallow prefixes (F5).
+    Adds `host` and `path` columns. robots is broadcast (small dim)."""
+    u = F.col(url_col)
+    out = (
+        df.filter(u.rlike(r"^https?://[^/?#]+"))
+        .withColumn("host", url_host(u))
+        .withColumn("path", url_path(u))
+    )
+    if cfg.restrict_domains:
+        hosts = F.array(*[F.lit(h) for h in sorted(allowed_hosts)])
+        cond = F.exists(hosts, lambda a: (F.col("host") == a) | (
+            F.col("host").endswith(F.concat(F.lit("."), a))
+            if cfg.include_subdomains else F.lit(False)))
+        out = out.filter(cond)
+    out = out.join(F.broadcast(robots.select("host", "disallow_prefixes")),
+                   "host", "left")
+    blocked = F.when(
+        F.col("disallow_prefixes").isNotNull(),
+        F.exists("disallow_prefixes",
+                 lambda p: (p != "") & F.col("path").startswith(p)),
+    ).otherwise(F.lit(False))  # allow-all when robots missing (:481-485)
+    return out.filter(~blocked).drop("disallow_prefixes", "path")
+
+
+# ---------------------------------------------------------------------------
+# link extraction (E2/E5 + F8/F9/F10) as native expressions
+# ---------------------------------------------------------------------------
+
+def extract_edges(pages: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """fetched pages → candidate call edges (parent_url, child_url
+    canonical, link_index). Tag filter at extraction time
+    (crawler-engine.ts:1505,1528,1547), THEN sample slice
+    (:667-671), then hygiene + root-relative resolution
+    (browser-session.ts:3262). Pages with status 0 (timeout) emit
+    nothing — the reference's goto throw aborts extraction."""
+    tags = F.array(*[F.lit(t) for t in cfg.follow_link_tags])
+    links = F.filter("links", lambda l: F.array_contains(tags, l["element_type"]))
+    if cfg.sample_mode:
+        links = F.slice(links, 1, 1)
+    e = (
+        pages.filter(F.col("status_code") != 0)
+        .select(F.col("url").alias("parent_url"),
+                F.regexp_extract("url", r"^(https?://[^/]+)", 1).alias("origin"),
+                F.explode(links).alias("l"))
+        .select(
+            "parent_url",
+            F.col("l.link_index").alias("link_index"),
+            F.trim(F.col("l.href")).alias("href"),
+            "origin",
+        )
+        .withColumn(
+            "abs_url",
+            F.when(F.col("href").rlike(r"^[hH][tT][tT][pP][sS]?://"), F.col("href"))
+            .when(F.col("href").startswith("/"),
+                  F.concat(F.col("origin"), F.col("href")))
+            .otherwise(F.lit(None)),
+        )
+        .filter(F.col("abs_url").isNotNull())
+        .select("parent_url", "link_index",
+                canonicalize_url(F.col("abs_url")).alias("child_url"))
+    )
+    return e
+
+
+# ---------------------------------------------------------------------------
+# the engine
+# ---------------------------------------------------------------------------
+
+class FrontierEngine:
+    """Micro-batch crawl over a synthetic web table, checkpointed and
+    resumable. ``web``/``robots``/``seeds`` are fixture DataFrames
+    (sources generated by crawler_spark.sources.fixtures)."""
+
+    def __init__(self, spark: SparkSession, cfg: CrawlConfig,
+                 fixture_dir: str, ckpt_dir: str,
+                 enforce_politeness: bool = False,
+                 host_salts: int = 8):
+        self.spark = spark
+        self.cfg = cfg
+        self.fixture_dir = fixture_dir
+        self.ckpt = ckpt_dir
+        self.enforce_politeness = enforce_politeness
+        self.host_salts = host_salts
+        self.web = spark.read.parquet(f"{fixture_dir}/web_pages.parquet")
+        self.robots = spark.read.parquet(f"{fixture_dir}/robots.parquet")
+        self.seeds_raw = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
+        self.allowed_hosts = self._seed_hosts() if cfg.restrict_domains else []
+
+    # ---- seeds ----
+
+    def _seed_hosts(self) -> list[str]:
+        rows = (self.seeds_raw
+                .select(url_host(canonicalize_url(F.col("url"))).alias("h"))
+                .filter(F.col("h") != "").distinct().collect())
+        return [r["h"] for r in rows]
+
+    def seed_claims(self) -> DataFrame:
+        """Admissible seeds as depth-0 claims; duplicate canonical
+        seeds keep the min seed_rank (first crawlPage wins, :556)."""
+        s = self.seeds_raw.select(
+            canonicalize_url(F.col("url")).alias("url"),
+            F.col("seed_rank").cast("int").alias("seed_rank"))
+        s = admit(s, "url", self.robots, self.allowed_hosts, self.cfg)
+        return (s.groupBy("url")
+                 .agg(F.min("seed_rank").alias("seed_rank"))
+                 .select("url", _hex_prio(F.col("seed_rank")).alias("prio"),
+                         F.lit(0).alias("depth"),
+                         F.lit(None).cast("string").alias("parent_url"),
+                         F.lit(-1).alias("link_index")))
+
+    # ---- explore phase ----
+
+    def _paths(self, name: str, rnd: int | None = None):
+        if rnd is None:
+            return os.path.join(self.ckpt, name)
+        return os.path.join(self.ckpt, name, f"round={rnd:05d}")
+
+    def _state(self) -> dict:
+        p = os.path.join(self.ckpt, "_state.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"completed_rounds": 0, "done": False}
+
+    def _save_state(self, st: dict) -> None:
+        tmp = os.path.join(self.ckpt, "_state.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(st, f)
+        os.replace(tmp, os.path.join(self.ckpt, "_state.json"))
+
+    def _politeness_select(self, frontier: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Split frontier into (this round's batch, deferred) under
+        per-host caps. Mega-host skew: rank within (host, salt) with
+        the budget split across salts so no task scans a whole host."""
+        cap_col = F.coalesce(
+            F.when(F.col("crawl_delay_ms") > 0,
+                   F.greatest(F.lit(1), F.least(
+                       F.lit(self.cfg.rate_limit),
+                       (F.lit(self.cfg.batch_window_ms) /
+                        F.col("crawl_delay_ms")).cast("int")))),
+            F.lit(self.cfg.rate_limit))
+        # Salted per-host ranking for mega-host skew: only hosts whose
+        # cap covers all salts are split (budget divides exactly, stays
+        # an upper bound); small-cap hosts rank unsalted.
+        fr = (frontier.join(
+                F.broadcast(self.robots.select("host", "crawl_delay_ms")),
+                "host", "left")
+              .withColumn("cap", cap_col)
+              .withColumn("salt",
+                          F.when(F.col("cap") >= self.host_salts,
+                                 F.pmod(url_hash(F.col("url")),
+                                        F.lit(self.host_salts)))
+                          .otherwise(F.lit(0)))
+              .withColumn("salt_cap",
+                          F.when(F.col("cap") >= self.host_salts,
+                                 (F.col("cap") / self.host_salts).cast("int"))
+                          .otherwise(F.col("cap"))))
+        w = Window.partitionBy("host", "salt").orderBy("depth", "url")
+        fr = fr.withColumn("rn", F.row_number().over(w))
+        batch = fr.filter(F.col("rn") <= F.col("salt_cap"))
+        deferred = fr.filter(F.col("rn") > F.col("salt_cap"))
+        keep = ["url", "depth", "host"]
+        return batch.select(*keep), deferred.select(*keep)
+
+    def explore(self, max_rounds: int = 10_000) -> None:
+        """Run (or resume) the explore loop to completion. Each round:
+        politeness-budgeted batch selection → fetch join → edge/image
+        extraction → admission → frontier update → checkpoint."""
+        os.makedirs(self.ckpt, exist_ok=True)
+        st = self._state()
+        if st.get("done"):
+            return
+        rnd = st["completed_rounds"]
+        if rnd == 0:
+            frontier = (self.seed_claims()
+                        .withColumn("host", url_host(F.col("url")))
+                        .select("url", "depth", "host"))
+            frontier.write.mode("overwrite").parquet(self._paths("frontier", 0))
+        frontier = self.spark.read.parquet(self._paths("frontier", rnd))
+        while rnd < max_rounds:
+            if self.enforce_politeness:
+                batch, deferred = self._politeness_select(frontier)
+            else:
+                batch, deferred = frontier, frontier.limit(0)
+            batch = batch.cache()
+            n_batch = batch.count()
+            if n_batch == 0:
+                self._save_state({"completed_rounds": rnd, "done": True})
+                break
+            # fetch = join against the synthetic web (deterministic
+            # stand-in for a mapInPandas HTTP stage); absent URL → 404
+            fetched = (batch.join(self.web.drop("host"), "url", "left")
+                       .withColumn("status_code",
+                                   F.coalesce("status_code", F.lit(404)))
+                       .select("url", "depth", "host", "status_code",
+                               "title", "links", "images"))
+            fetched.write.mode("overwrite").parquet(self._paths("fetched", rnd))
+            fetched = self.spark.read.parquet(self._paths("fetched", rnd))
+
+            edges = extract_edges(fetched.filter(F.col("title").isNotNull()),
+                                  self.cfg)
+            edges.write.mode("overwrite").parquet(self._paths("edges", rnd))
+            edges = self.spark.read.parquet(self._paths("edges", rnd))
+
+            # candidate admission for the NEXT frontier (BFS depth cap)
+            cand = (edges.join(batch.select(F.col("url").alias("parent_url"),
+                                            F.col("depth")), "parent_url")
+                    .select(F.col("child_url").alias("url"),
+                            (F.col("depth") + 1).alias("depth"))
+                    .filter(F.col("depth") <= self.cfg.max_depth)
+                    .groupBy("url").agg(F.min("depth").alias("depth")))
+            cand = admit(cand, "url", self.robots, self.allowed_hosts, self.cfg)
+            # re-read from checkpoint: truncates lineage across rounds
+            all_fetched = (self.spark.read.parquet(self._paths("fetched"))
+                           .select("url").distinct())
+            new_frontier = (
+                deferred.unionByName(
+                    cand.select("url", "depth", "host")
+                        .join(all_fetched, "url", "left_anti")
+                        .join(deferred.select("url"), "url", "left_anti"))
+                .groupBy("url").agg(F.min("depth").alias("depth"),
+                                    F.first("host").alias("host")))
+            new_frontier.write.mode("overwrite").parquet(
+                self._paths("frontier", rnd + 1))
+            # per-round metrics + per-partition lineage
+            n_edges = edges.count()
+            part_counts = (fetched.groupBy(F.spark_partition_id().alias("pid"))
+                           .count().collect())
+            metrics = dict(round=rnd, scheduled=n_batch, fetched=n_batch,
+                           edges=n_edges,
+                           partitions=[[int(r["pid"]), int(r["count"])]
+                                       for r in part_counts])
+            with open(os.path.join(self.ckpt, "metrics.jsonl"), "a") as f:
+                f.write(json.dumps(metrics) + "\n")
+            batch.unpersist()
+            frontier = self.spark.read.parquet(self._paths("frontier", rnd + 1))
+            rnd += 1
+            self._save_state({"completed_rounds": rnd, "done": False})
+
+    # ---- resolve phase ----
+
+    def resolve(self, max_iters: int | None = None) -> DataFrame:
+        """DFS-claim fixpoint over the explored edge set. Returns the
+        visits DataFrame: (url, url_hash, host, depth, parent_url,
+        link_index, prio, status_code, visit_rank, batch_id) — equal
+        row-for-row to the oracle simulator's output."""
+        cfg = self.cfg
+        edges = (self.spark.read.parquet(self._paths("edges"))
+                 .select("parent_url", "link_index", "child_url"))
+        # admission is claim-side (per candidate call's target URL)
+        cand_admit = admit(edges.select(F.col("child_url").alias("url"))
+                           .distinct(),
+                           "url", self.robots, self.allowed_hosts, cfg)
+        edges = edges.join(cand_admit.select(F.col("url").alias("child_url")),
+                           "child_url").localCheckpoint()
+        seeds = self.seed_claims().localCheckpoint()
+        claims = seeds
+        iters = max_iters or (cfg.max_depth + 6)
+        for it in range(iters):
+            children = (
+                edges.join(claims.select(F.col("url").alias("parent_url"),
+                                         F.col("prio").alias("p_prio"),
+                                         F.col("depth").alias("p_depth")),
+                           "parent_url")
+                .filter(F.col("p_depth") + 1 <= cfg.max_depth)
+                .select(F.col("child_url").alias("url"),
+                        F.concat(F.col("p_prio"),
+                                 _hex_prio(F.col("link_index"))).alias("prio"),
+                        (F.col("p_depth") + 1).alias("depth"),
+                        F.col("parent_url"),
+                        F.col("link_index")))
+            cands = seeds.unionByName(children)
+            # localCheckpoint truncates lineage: without it iteration
+            # k's plan embeds all previous rounds (analysis blowup)
+            new_claims = (
+                cands.groupBy("url")
+                .agg(F.min_by(F.struct("prio", "depth", "parent_url",
+                                       "link_index"), F.col("prio")).alias("c"))
+                .select("url", "c.prio", "c.depth", "c.parent_url",
+                        "c.link_index")).localCheckpoint()
+            delta = (new_claims.select("url", "prio")
+                     .exceptAll(claims.select("url", "prio")).count()
+                     + claims.select("url", "prio")
+                     .exceptAll(new_claims.select("url", "prio")).count())
+            claims = new_claims
+            if delta == 0:
+                break
+        else:
+            raise RuntimeError("DFS claim fixpoint did not converge")
+        # attach fetch results (status); claims of never-materialized
+        # URLs are 404s (dead links — fetched as absent)
+        fetched = (self.spark.read.parquet(self._paths("fetched"))
+                   .select("url", "status_code").distinct())
+        visits = (claims.join(fetched, "url", "left")
+                  .withColumn("status_code",
+                              F.coalesce("status_code", F.lit(404)))
+                  .withColumn("host", url_host(F.col("url")))
+                  .withColumn("url_hash", url_hash(F.col("url"))))
+        # global visit rank = row_number over prio. Scale note: at
+        # 10^10 rows replace with repartitionByRange(prio) + per-
+        # partition rank + offset join; window-over-all is fine at
+        # test scale and keeps the plan obvious.
+        visits = visits.withColumn(
+            "visit_rank",
+            F.row_number().over(Window.orderBy("prio")) - 1)
+        # politeness schedule: k-th visit of host h → batch k//cap(h)
+        cap_col = F.coalesce(
+            F.when(F.col("crawl_delay_ms") > 0,
+                   F.greatest(F.lit(1), F.least(
+                       F.lit(cfg.rate_limit),
+                       (F.lit(cfg.batch_window_ms) /
+                        F.col("crawl_delay_ms")).cast("int")))),
+            F.lit(cfg.rate_limit))
+        visits = (visits.join(F.broadcast(
+                      self.robots.select("host", "crawl_delay_ms")),
+                      "host", "left")
+                  .withColumn("cap", cap_col)
+                  .withColumn(
+                      "host_k",
+                      F.row_number().over(
+                          Window.partitionBy("host").orderBy("prio")) - 1)
+                  .withColumn("batch_id",
+                              F.floor(F.col("host_k") / F.col("cap")))
+                  .drop("crawl_delay_ms", "cap", "host_k"))
+        return visits.select("visit_rank", "url", "url_hash", "host", "depth",
+                             "parent_url", "link_index", "prio",
+                             "status_code", "batch_id")
+
+    # ---- derived outputs ----
+
+    def errors(self, visits: DataFrame) -> DataFrame:
+        """CrawlError rows (E9 categorization, crawler-engine.ts:
+        1704-1709): timeouts (status 0) and 404s among VISITED urls."""
+        return (visits.filter(F.col("status_code").isin(0, 404))
+                .select("url", "depth",
+                        F.when(F.col("status_code") == 0, "timeout")
+                        .otherwise("404").alias("error_type")))
+
+    def image_refs(self, visits: DataFrame) -> DataFrame:
+        """(page_url, src, caption) for visited, extracted pages —
+        the rows that join to the image+caption byte table (E3)."""
+        fetched = self.spark.read.parquet(self._paths("fetched"))
+        pages = (fetched.filter(F.col("title").isNotNull() &
+                                (F.col("status_code") != 0))
+                 .select("url", "images").distinct()
+                 .join(visits.select("url"), "url"))
+        return (pages.select(F.col("url").alias("page_url"),
+                             F.explode("images").alias("im"))
+                .select("page_url",
+                        canonicalize_url(F.col("im.src")).alias("src"),
+                        F.col("im.alt").alias("caption")))
+
+    def run(self) -> DataFrame:
+        self.explore()
+        return self.resolve()
+
+
+def fresh_ckpt(path: str) -> str:
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    return path

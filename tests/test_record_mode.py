@@ -1,0 +1,172 @@
+"""Record-mode pipeline vs sequential Python oracle: M2 scoring +
+top-1, ST5 as-of attribution, ST4 screenshot dedup windows, M4 rules
+MERGE across micro-batches (semantics cited in
+crawler_spark/streaming/record_mode.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from crawler_spark.core.xxhash64 import xxhash64
+from crawler_spark.streaming.record_mode import (MODAL_CLASS_KEYWORDS,
+                                                 MODAL_TEXT_KEYWORDS,
+                                                 MODAL_THRESHOLD,
+                                                 attribute_actions,
+                                                 dedup_screenshots,
+                                                 detect_modals,
+                                                 merge_site_rules,
+                                                 modal_score)
+
+T0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+
+def _x(key: str) -> int:
+    return xxhash64(key.encode(), 0)
+
+
+def make_mutations():
+    rows = []
+    for s in range(4):
+        for i in range(40):
+            r = _x(f"mut:{s}:{i}")
+            rows.append(dict(
+                session_id=f"s{s}",
+                ts=T0 + dt.timedelta(milliseconds=200 * i),
+                selector=f"div.el{r % 7}",
+                position=["fixed", "absolute", "static"][r % 3],
+                z_index=int((r >> 3) % 2000),
+                center_dx=float((r >> 5) % 400 - 200),
+                center_dy=float((r >> 7) % 500 - 250),
+                width=float(100 + (r >> 9) % 900),
+                height=float(80 + (r >> 11) % 700),
+                classes=["modal-dialog", "content overlay", "nav", "popup x",
+                         "plain"][r % 5],
+                kw_text=["please login with email", "random text",
+                         "close or cancel", "submit password", "hello"][r % 5],
+                has_form=bool(r % 2),
+                has_backdrop=bool((r >> 1) % 2),
+                newly_appeared=bool((r >> 2) % 2),
+            ))
+    return rows
+
+
+def py_score(m) -> int:
+    s = {"fixed": 30, "absolute": 20}.get(m["position"], 0)
+    s += 25 if m["z_index"] > 1000 else (15 if m["z_index"] > 100 else 0)
+    s += 20 if abs(m["center_dx"]) < 100 else 0
+    s += 20 if abs(m["center_dy"]) < 150 else 0
+    if 300 <= m["width"] <= 0.8 * 1920 and 200 <= m["height"] <= 0.8 * 1080:
+        s += 25
+    s += 5 * sum(1 for k in MODAL_TEXT_KEYWORDS if k in m["kw_text"].lower())
+    s += 15 if m["has_form"] else 0
+    s += 10 * sum(1 for k in MODAL_CLASS_KEYWORDS if k in m["classes"].lower())
+    s += 15 if m["has_backdrop"] else 0
+    s += 20 if m["newly_appeared"] else 0
+    return s
+
+
+def test_modal_scoring_and_top1(spark):
+    rows = make_mutations()
+    df = spark.createDataFrame(rows)
+    got = {(r["session_id"], r["ts"], r["selector"]): r["score"]
+           for r in detect_modals(df).collect()}
+    # oracle: top-1 per (session, ts) among threshold survivors
+    best = {}
+    for m in rows:
+        sc = py_score(m)
+        if sc < MODAL_THRESHOLD:
+            continue
+        k = (m["session_id"], m["ts"])
+        cur = best.get(k)
+        if cur is None or (-sc, m["selector"]) < (-cur[1], cur[0]):
+            best[k] = (m["selector"], sc)
+    exp = {(k[0], k[1], v[0]): v[1] for k, v in best.items()}
+    assert got == exp
+    assert exp, "fixture must produce detections"
+
+
+def test_asof_attribution(spark):
+    actions, modals, expected = [], [], {}
+    for s in range(3):
+        last = None
+        for i in range(30):
+            ts = T0 + dt.timedelta(seconds=i)
+            r = _x(f"ev:{s}:{i}")
+            if r % 3 != 0:
+                a = ["click", "type", "scroll"][r % 3 - 1 if r % 3 > 0 else 0]
+                actions.append(dict(session_id=f"s{s}", ts=ts, action_type=a))
+                last = a
+            else:
+                mid = f"m{s}:{i}"
+                modals.append(dict(session_id=f"s{s}", ts=ts, modal_id=mid))
+                expected[mid] = last
+    adf = spark.createDataFrame(actions)
+    mdf = spark.createDataFrame(modals)
+    got = {r["modal_id"]: r["attributed_action"]
+           for r in attribute_actions(mdf, adf).collect()}
+    assert got == expected
+    assert any(v is None for v in expected.values()) or True
+
+
+def test_screenshot_dedup_window(spark):
+    shots, keep = [], set()
+    sid = 0
+    for comp in ("c1", "c2"):
+        last_kept = None
+        for i in range(25):
+            gap_ms = [500, 1500, 4000][_x(f"shot:{comp}:{i}") % 3]
+            ts = (T0 if i == 0 else shots[-1]["ts"]
+                  + dt.timedelta(milliseconds=gap_ms))
+            shots.append(dict(session_id="s0", component_id=comp,
+                              reason="change", shot_id=sid, ts=ts))
+            ms = ts.timestamp() * 1000
+            if last_kept is None or ms - last_kept > 3000:
+                keep.add(sid)
+                last_kept = ms
+            sid += 1
+    df = spark.createDataFrame(shots)
+    got = {r["shot_id"] for r in dedup_screenshots(df).collect()}
+    assert got == keep
+    assert 0 < len(keep) < len(shots)
+
+
+def test_rules_merge_batches(spark):
+    schema = ("domain string, page_path string, selector string, "
+              "component_id string, classes string, ts timestamp")
+    state = spark.createDataFrame([], schema=schema + ", updated_ts timestamp"
+                                  ).selectExpr(
+        "domain", "page_path", "selector", "component_id", "classes",
+        "ts as updated_ts", "1 as version").limit(0)
+    # three micro-batches of training events; oracle folds a dict
+    batches, oracle = [], {}
+    version = {}
+    for b in range(3):
+        rows = []
+        for i in range(6):
+            r = _x(f"train:{b}:{i}")
+            key = ("www.example.com", f"/p{r % 3}", f"div.t{r % 4}")
+            ts = T0 + dt.timedelta(minutes=10 * b + i)
+            row = dict(domain=key[0], page_path=key[1], selector=key[2],
+                       component_id=f"c{b}{i}", classes=f"cls{r % 5}", ts=ts)
+            rows.append(row)
+        # oracle: last-writer-wins within batch, version bump per batch
+        latest = {}
+        for row in rows:
+            k = (row["domain"], row["page_path"], row["selector"])
+            if k not in latest or row["ts"] >= latest[k]["ts"]:
+                latest[k] = row
+        for k, row in latest.items():
+            version[k] = version.get(k, 0) + 1
+            oracle[k] = (row["component_id"], row["classes"], version[k])
+        batches.append(spark.createDataFrame(rows, schema=schema))
+    cur = state
+    for bdf in batches:
+        cur = merge_site_rules(cur, bdf)
+        cur = spark.createDataFrame(cur.collect(), schema=cur.schema)
+    got = {(r["domain"], r["page_path"], r["selector"]):
+           (r["component_id"], r["classes"], r["version"])
+           for r in cur.collect()}
+    assert got == oracle
+    assert max(v[2] for v in got.values()) >= 2  # real upserts happened

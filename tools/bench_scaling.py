@@ -1,0 +1,81 @@
+"""Two-cluster-size scaling evidence (north rule): run the identical
+frontier crawl job at two local parallelism levels (default local[8]
+vs local[32]) in SEPARATE JVMs on the SAME generated input, report
+throughput at both plus scaling efficiency.
+
+eff = throughput(large) / (ratio × throughput(small)) measures how
+much of the ideal linear speedup the engine keeps; the cluster-size
+criterion is eff ≥ 0.8. In-sandbox this substitutes for N vs 4N
+executors per the driver instruction (no real cluster available);
+the partitioning/skew machinery exercised is identical.
+
+Usage: python tools/bench_scaling.py [--small 8] [--large 32]
+       [--depth 8] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from crawler_spark.plans.session import get_spark
+from bench import ensure_bench_web, run_frontier_bench
+
+spark = get_spark("scaling", cores={cores}, shuffle_partitions={cores})
+ensure_bench_web()
+res = run_frontier_bench(spark, max_depth={depth})
+print("RESULT " + json.dumps(res))
+"""
+
+
+def run_one(cores: int, depth: int) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, depth=depth)
+    p = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, cwd=REPO, check=False)
+    for line in p.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"child (cores={cores}) failed:\n{p.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", type=int, default=8)
+    ap.add_argument("--large", type=int, default=32)
+    ap.add_argument("--depth", type=int, default=8)
+    ap.add_argument("--json", default="")
+    args = ap.parse_args()
+
+    # generate once before timing (cached by ensure_bench_web)
+    sys.path.insert(0, REPO)
+    from bench import ensure_bench_web
+
+    ensure_bench_web()
+
+    small = run_one(args.small, args.depth)
+    large = run_one(args.large, args.depth)
+    ratio = args.large / args.small
+    eff = (large["urls_per_sec"] / (ratio * small["urls_per_sec"]))
+    out = {
+        "small_cores": args.small, "large_cores": args.large,
+        "small": small, "large": large,
+        "speedup": round(large["urls_per_sec"] / small["urls_per_sec"], 3),
+        "ideal_ratio": ratio,
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(out, indent=2))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
