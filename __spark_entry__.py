@@ -25,7 +25,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crawler_spark.functions.text import (breadcrumb_trail, categorize_error,
-                                          top_headings, truncate_text)
+                                          css_selector, top_headings,
+                                          truncate_text)
 from crawler_spark.functions.urls import canonicalize_url, url_slug
 from crawler_spark.operators.dedup import (exact_dedup, jaccard_pairs,
                                            minhash_lsh_pairs, simhash_pairs,
@@ -42,6 +43,8 @@ from crawler_spark.operators.textstats import (doc_fingerprint, lang_id,
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 _IMG_FIXTURES = os.path.join(_REPO, "fixtures", "t-smoke", "images.parquet")
+_WEB_FIXTURES = os.path.join(_REPO, "fixtures", "t-smoke",
+                             "web_pages.parquet")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -144,6 +147,20 @@ def q_headings_top3(spark, sf_dir):
         truncate_text(F.col("p_name"), 15).alias("excerpt"))
 
 
+def q_selector_synthesis(spark, sf_dir):
+    """E6: deterministic CSS selector generation ('#id' → 'tag.c1.c2'
+    → bare tag) over synthetic element rows."""
+    p = _t(spark, sf_dir, "part")
+    tag = F.when(F.col("p_partkey") % 2 == 0, "div").otherwise("button")
+    elem_id = F.when(F.col("p_partkey") % 5 == 0,
+                     F.concat(F.lit("el-"), F.col("p_partkey").cast("string"))
+                     ).otherwise(F.lit(""))
+    classes = F.when(F.col("p_partkey") % 3 == 0, F.lit("")).otherwise(
+        F.lower(F.regexp_replace("p_type", " ", "  ")))
+    return p.select("p_partkey",
+                    css_selector(tag, elem_id, classes).alias("selector"))
+
+
 def q_asof_attribution(spark, sf_dir):
     """J7/ST5: as-of join — each error event attributed to the latest
     prior (or simultaneous) non-error action of the same user."""
@@ -174,6 +191,47 @@ def q_modal_scoring(spark, sf_dir):
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter((F.col("rn") == 1) & (F.col("score") >= 50))
             .select("user_id", "event_id", "score"))
+
+
+def q_forms_extract(spark, sf_dir):
+    """E4: nested form extraction — explode array<struct> from the
+    synthetic web, project action/method/field count."""
+    w = spark.read.parquet(_WEB_FIXTURES)
+    return (w.select("url", F.explode("forms").alias("f"))
+            .select("url", F.col("f.action").alias("action"),
+                    F.col("f.method").alias("method"),
+                    F.size("f.fields").cast("long").alias("n_fields")))
+
+
+def q_action_format(spark, sf_dir):
+    """E10: type-dispatched action description templates."""
+    e = _t(spark, sf_dir, "events")
+    v = F.round(F.col("value"), 2)
+    desc = (
+        F.when(F.col("event_type") == "click",
+               F.format_string("Clicked element at value %.2f", v))
+        .when(F.col("event_type") == "view",
+              F.format_string("Viewed page for %.2f units", v))
+        .when(F.col("event_type") == "signup",
+              F.lit("Submitted signup form"))
+        .otherwise(F.format_string("Event %s", F.col("event_type"))))
+    return e.select("event_id", desc.alias("description"))
+
+
+def q_console_router(spark, sf_dir):
+    """ST6/F11: console-message pattern router + noise filter —
+    multi-way rlike dispatch, spam lines dropped."""
+    e = _t(spark, sf_dir, "events")
+    msg = F.concat(F.lit("["), F.upper("event_type"), F.lit("] value="),
+                   F.col("value").cast("string"))
+    routed = (
+        F.when(msg.rlike(r"^\[ERROR\]"), "error_handler")
+        .when(msg.rlike(r"^\[(CLICK|VIEW)\]"), "interaction_recorder")
+        .when(msg.rlike(r"^\[SIGNUP\]"), "form_tracker")
+        .otherwise("ignore"))
+    return (e.select("event_id", msg.alias("msg"), routed.alias("route"))
+            .filter(~F.col("msg").rlike(r"value=4[0-9]{2}\."))  # noise
+            .select("event_id", "route"))
 
 
 def q_dedup_window(spark, sf_dir):
@@ -362,7 +420,7 @@ def q_image_decode(spark, sf_dir):
 
 
 def q_image_phash_dedup(spark, sf_dir):
-    out = phash_dedup(_images(spark), max_hamming=8)
+    out = phash_dedup(_images(spark), max_hamming=10)
     return out.agg(
         F.count("*").alias("n_images"),
         F.countDistinct("canonical_id").alias("n_clusters"),
@@ -404,6 +462,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "breadcrumb": q_breadcrumb,
         "error_categorize": q_error_categorize,
         "headings_top3": q_headings_top3,
+        "selector_synthesis": q_selector_synthesis,
+        "forms_extract": q_forms_extract,
+        "action_format": q_action_format,
+        "console_router": q_console_router,
         "asof_attribution": q_asof_attribution,
         "modal_scoring": q_modal_scoring,
         "dedup_window": q_dedup_window,
@@ -559,6 +621,18 @@ SELECT p_partkey,
        substring(p_name, 1, 15) AS excerpt
 FROM part
 """,
+        "selector_synthesis": """
+SELECT p_partkey,
+       CASE WHEN p_partkey % 5 = 0 THEN '#el-' || p_partkey
+            WHEN p_partkey % 3 = 0 THEN
+                 CASE WHEN p_partkey % 2 = 0 THEN 'div' ELSE 'button' END
+            ELSE (CASE WHEN p_partkey % 2 = 0 THEN 'div' ELSE 'button' END)
+                 || array_to_string(list_transform(
+                        list_slice(string_split(lower(p_type), ' '), 1, 2),
+                        s -> '.' || s), '')
+       END AS selector
+FROM part
+""",
         "asof_attribution": """
 SELECT event_id, last_action_type FROM (
   SELECT event_id, event_type,
@@ -568,6 +642,35 @@ SELECT event_id, last_action_type FROM (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS last_action_type
   FROM events) WHERE event_type = 'error'
+""",
+        "forms_extract": f"""
+SELECT url, f.action AS action, f.method AS method,
+       CAST(len(f.fields) AS BIGINT) AS n_fields
+FROM (SELECT url, unnest(forms) AS f
+      FROM read_parquet('{_WEB_FIXTURES}'))
+""",
+        "action_format": """
+SELECT event_id,
+       CASE WHEN event_type = 'click'
+                 THEN printf('Clicked element at value %.2f', round(value,2))
+            WHEN event_type = 'view'
+                 THEN printf('Viewed page for %.2f units', round(value,2))
+            WHEN event_type = 'signup' THEN 'Submitted signup form'
+            ELSE printf('Event %s', event_type) END AS description
+FROM events
+""",
+        "console_router": """
+SELECT event_id,
+       CASE WHEN regexp_matches(msg, '^\\[ERROR\\]') THEN 'error_handler'
+            WHEN regexp_matches(msg, '^\\[(CLICK|VIEW)\\]')
+                 THEN 'interaction_recorder'
+            WHEN regexp_matches(msg, '^\\[SIGNUP\\]') THEN 'form_tracker'
+            ELSE 'ignore' END AS route
+FROM (SELECT event_id,
+             '[' || upper(event_type) || '] value=' || CAST(value AS VARCHAR)
+                 AS msg
+      FROM events)
+WHERE NOT regexp_matches(msg, 'value=4[0-9]{2}\\.')
 """,
         "modal_scoring": """
 WITH scored AS (

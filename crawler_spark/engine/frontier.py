@@ -149,13 +149,15 @@ class FrontierEngine:
     def __init__(self, spark: SparkSession, cfg: CrawlConfig,
                  fixture_dir: str, ckpt_dir: str,
                  enforce_politeness: bool = False,
-                 host_salts: int = 8):
+                 host_salts: int = 8,
+                 use_bloom: bool = False):
         self.spark = spark
         self.cfg = cfg
         self.fixture_dir = fixture_dir
         self.ckpt = ckpt_dir
         self.enforce_politeness = enforce_politeness
         self.host_salts = host_salts
+        self.use_bloom = use_bloom
         self.web = spark.read.parquet(f"{fixture_dir}/web_pages.parquet")
         self.robots = spark.read.parquet(f"{fixture_dir}/robots.parquet")
         self.seeds_raw = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
@@ -288,11 +290,24 @@ class FrontierEngine:
             # re-read from checkpoint: truncates lineage across rounds
             all_fetched = (self.spark.read.parquet(self._paths("fetched"))
                            .select("url").distinct())
+            cand = cand.select("url", "depth", "host")
+            if self.use_bloom:
+                # J1 at scale: bloom pre-filter kills the bulk of
+                # already-fetched candidates before the exact anti-join
+                from ..operators.bloom import (build_bloom,
+                                               seen_anti_join_with_bloom)
+
+                seen_h = all_fetched.withColumn("url_hash",
+                                                url_hash(F.col("url")))
+                new_cand = seen_anti_join_with_bloom(
+                    cand.withColumn("url_hash", url_hash(F.col("url"))),
+                    seen_h, build_bloom(seen_h),
+                    confirm_col="url").drop("url_hash")
+            else:
+                new_cand = cand.join(all_fetched, "url", "left_anti")
             new_frontier = (
                 deferred.unionByName(
-                    cand.select("url", "depth", "host")
-                        .join(all_fetched, "url", "left_anti")
-                        .join(deferred.select("url"), "url", "left_anti"))
+                    new_cand.join(deferred.select("url"), "url", "left_anti"))
                 .groupBy("url").agg(F.min("depth").alias("depth"),
                                     F.first("host").alias("host")))
             new_frontier.write.mode("overwrite").parquet(
@@ -330,7 +345,13 @@ class FrontierEngine:
                            "child_url").localCheckpoint()
         seeds = self.seed_claims().localCheckpoint()
         claims = seeds
-        iters = max_iters or (cfg.max_depth + 6)
+        # Convergence: the k-th smallest true claim is stable after
+        # round k (transient claims below it need transient parents
+        # with even smaller prios, grounded in the always-true seeds),
+        # so the fixpoint terminates in ≤ |claims| rounds; typical
+        # convergence is ~max_depth + a few correction waves. The cap
+        # is a diagnostic backstop, not the convergence criterion.
+        iters = max_iters or max(4 * cfg.max_depth + 20, 48)
         for it in range(iters):
             children = (
                 edges.join(claims.select(F.col("url").alias("parent_url"),
@@ -358,10 +379,12 @@ class FrontierEngine:
                      + claims.select("url", "prio")
                      .exceptAll(new_claims.select("url", "prio")).count())
             claims = new_claims
+            self.last_resolve_iters = it + 1
             if delta == 0:
                 break
         else:
-            raise RuntimeError("DFS claim fixpoint did not converge")
+            raise RuntimeError(
+                f"DFS claim fixpoint did not converge in {iters} rounds")
         # attach fetch results (status); claims of never-materialized
         # URLs are 404s (dead links — fetched as absent)
         fetched = (self.spark.read.parquet(self._paths("fetched"))

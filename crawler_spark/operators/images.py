@@ -105,29 +105,38 @@ def psnr_vs_golden(images: DataFrame, golden: DataFrame) -> DataFrame:
 # phash near-duplicate dedup (banded LSH on the 64-bit hash)
 # ---------------------------------------------------------------------------
 
-def _bands(col, n_bands: int = 4):
-    """Split a 64-bit hash column into n 16-bit band values."""
+def _bands(col, n_bands: int = 16):
+    """Split a 64-bit hash column into n equal-width band values."""
     width = 64 // n_bands
     mask = (1 << width) - 1
     return [F.shiftrightunsigned(col, i * width).bitwiseAND(mask)
             for i in range(n_bands)]
 
 
-def phash_candidate_pairs(images: DataFrame, max_hamming: int = 8,
+def phash_candidate_pairs(images: DataFrame, max_hamming: int = 10,
                           id_col: str = "image_id",
-                          phash_col: str = "phash") -> DataFrame:
+                          phash_col: str = "phash",
+                          n_bands: int = 16) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b, hamming ≤ max_hamming).
 
-    Band join: 4 bands of 16 bits — pairs with Hamming distance ≤ 48
-    collide on ≥1 band (pigeonhole), so recall is exact for any
-    max_hamming ≤ 48; the hamming filter (`bit_count(a^b)`) then cuts
-    false candidates. Native ops only; the self-join shuffles on
+    Band join with n_bands equal slices: if every band differed the
+    distance would be ≥ n_bands, so any pair with hamming ≤
+    n_bands - 1 collides on ≥ 1 band — recall is EXACT for
+    max_hamming ≤ n_bands - 1 (default 16 bands ⇒ exact ≤ 15). The
+    hamming filter (`bit_count(a^b)`) then cuts false candidates.
+    Narrower bands buy recall at the cost of more candidates —
+    at 10^10 images drop to 8 bands (exact ≤ 7) or add a second
+    shifted banding pass. Native ops only; the self-join shuffles on
     (band_id, band_value)."""
+    if max_hamming > n_bands - 1:
+        raise ValueError(f"recall not exact: max_hamming {max_hamming} "
+                         f"> n_bands-1 ({n_bands - 1})")
     sides = images.select(F.col(id_col).alias("id"),
                           F.col(phash_col).alias("ph"))
     banded = sides.select(
         "id", "ph",
-        F.posexplode(F.array(*_bands(F.col("ph")))).alias("band_id", "band_val"))
+        F.posexplode(F.array(*_bands(F.col("ph"), n_bands)))
+        .alias("band_id", "band_val"))
     a = banded.select(F.col("id").alias("id_a"), F.col("ph").alias("ph_a"),
                       "band_id", "band_val")
     b = banded.select(F.col("id").alias("id_b"), F.col("ph").alias("ph_b"),
@@ -141,7 +150,7 @@ def phash_candidate_pairs(images: DataFrame, max_hamming: int = 8,
     return pairs.select("id_a", "id_b", "hamming")
 
 
-def phash_dedup(images: DataFrame, max_hamming: int = 8,
+def phash_dedup(images: DataFrame, max_hamming: int = 10,
                 id_col: str = "image_id", phash_col: str = "phash",
                 max_iters: int = 16) -> DataFrame:
     """Collapse near-duplicate clusters: connected components over the

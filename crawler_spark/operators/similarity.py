@@ -47,11 +47,16 @@ def cosine_pairs(emb: DataFrame, threshold: float,
     """All pairs (id_a < id_b) with cosine ≥ threshold — exact
     brute-force (cross join): the correctness baseline / embedding
     near-dup detector for modest corpus sizes."""
+    # repartition the probe side: a small parquet corpus arrives in
+    # one partition and a 1-task nested-loop cross join wastes every
+    # other core; broadcast the build side.
+    par = emb.sparkSession.sparkContext.defaultParallelism
     a = emb.select(F.col(id_col).alias("id_a"),
-                   F.col(vec_col).cast("array<double>").alias("vec_a"))
+                   F.col(vec_col).cast("array<double>").alias("vec_a")
+                   ).repartition(par)
     b = emb.select(F.col(id_col).alias("id_b"),
                    F.col(vec_col).cast("array<double>").alias("vec_b"))
-    out = (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    out = (a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
            .transform(with_cosine)
            .filter(F.col("cosine") >= threshold))
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
@@ -66,12 +71,14 @@ def ann_topk(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
     asc) — coarse rounding + id tiebreak makes ranks engine-
     independent. queries defaults to the corpus itself (self-join,
     excluding self-matches)."""
+    par = emb.sparkSession.sparkContext.defaultParallelism
     q = (queries or emb).select(
         F.col(id_col).alias("qid"),
-        F.col(vec_col).cast("array<double>").alias("vec_a"))
+        F.col(vec_col).cast("array<double>").alias("vec_a")
+    ).repartition(par)
     c = emb.select(F.col(id_col).alias("nid"),
                    F.col(vec_col).cast("array<double>").alias("vec_b"))
-    scored = (q.crossJoin(c).filter(F.col("qid") != F.col("nid"))
+    scored = (q.crossJoin(F.broadcast(c)).filter(F.col("qid") != F.col("nid"))
               .transform(with_cosine)
               .withColumn("cos_r", F.round("cosine", round_digits)))
     w = Window.partitionBy("qid").orderBy(F.col("cos_r").desc(),

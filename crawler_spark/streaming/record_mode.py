@@ -39,19 +39,31 @@ MODAL_TEXT_KEYWORDS = ("login", "sign in", "register", "password", "email",
                        "close", "cancel", "ok", "submit")
 
 
-def modal_score(position=F.col("position"), z_index=F.col("z_index"),
-                center_dx=F.col("center_dx"), center_dy=F.col("center_dy"),
-                width=F.col("width"), height=F.col("height"),
-                classes=F.col("classes"), kw_text=F.col("kw_text"),
-                has_form=F.col("has_form"), has_backdrop=F.col("has_backdrop"),
-                newly_appeared=F.col("newly_appeared"),
-                vw=F.lit(1920.0), vh=F.lit(1080.0)):
+def modal_score(position=None, z_index=None, center_dx=None, center_dy=None,
+                width=None, height=None, classes=None, kw_text=None,
+                has_form=None, has_backdrop=None, newly_appeared=None,
+                vw=1920.0, vh=1080.0):
     """The M2 scorer as one column expression (reference weights,
     browser-session.ts:3824-3939): fixed +30 / absolute +20;
     z>1000 +25 / z>100 +15; h-centered(<100px) +20;
     v-centered(<150px) +20; modal-sized (300..0.8vw × 200..0.8vh)
     +25; text keyword hits ×5; form +15; class keyword hits ×10;
-    backdrop +15; newly appeared +20."""
+    backdrop +15; newly appeared +20. Column args default to the
+    same-named columns (resolved lazily — no SparkContext needed at
+    import time)."""
+    position = F.col("position") if position is None else position
+    z_index = F.col("z_index") if z_index is None else z_index
+    center_dx = F.col("center_dx") if center_dx is None else center_dx
+    center_dy = F.col("center_dy") if center_dy is None else center_dy
+    width = F.col("width") if width is None else width
+    height = F.col("height") if height is None else height
+    classes = F.col("classes") if classes is None else classes
+    kw_text = F.col("kw_text") if kw_text is None else kw_text
+    has_form = F.col("has_form") if has_form is None else has_form
+    has_backdrop = F.col("has_backdrop") if has_backdrop is None else has_backdrop
+    newly_appeared = (F.col("newly_appeared") if newly_appeared is None
+                      else newly_appeared)
+    vw, vh = F.lit(float(vw)), F.lit(float(vh))
     kw_hits = sum(
         (F.when(F.lower(kw_text).contains(k), 1).otherwise(0)
          for k in MODAL_TEXT_KEYWORDS),
@@ -134,6 +146,99 @@ def dedup_screenshots(shots: DataFrame) -> DataFrame:
         return pd.DataFrame(kept_rows, columns=pdf.columns)
 
     return shots.groupBy(*key).applyInPandas(scan, schema=shots.schema)
+
+
+def modal_lifecycle(snapshots: DataFrame) -> DataFrame:
+    """ST3: the keyed modal state machine (open → content-change →
+    close, browser-session.ts:3999-4160) over presence snapshots.
+
+    Input: one row per (session_id, selector, tick) where the modal
+    was PRESENT at that poll tick, with its `content`. Emits event
+    rows (session_id, selector, tick, event): 'open' on first
+    appearance or reappearance after an absent tick, 'change' when
+    present consecutively with different content, 'close' at the
+    tick after the last presence of a run (activeModal = null on
+    disappearance, :4155-4160).
+
+    Pure window algebra over (session, selector) ordered by tick —
+    keyed state without applyInPandasWithState; shuffles once on the
+    state key."""
+    w = Window.partitionBy("session_id", "selector").orderBy("tick")
+    d = (snapshots
+         .withColumn("prev_tick", F.lag("tick").over(w))
+         .withColumn("prev_content", F.lag("content").over(w))
+         .withColumn("next_tick", F.lead("tick").over(w)))
+    opens = (d.filter(F.col("prev_tick").isNull()
+                      | (F.col("tick") - F.col("prev_tick") > 1))
+             .select("session_id", "selector", "tick",
+                     F.lit("open").alias("event")))
+    changes = (d.filter((F.col("tick") - F.col("prev_tick") == 1)
+                        & (F.col("content") != F.col("prev_content")))
+               .select("session_id", "selector", "tick",
+                       F.lit("change").alias("event")))
+    closes = (d.filter(F.col("next_tick").isNull()
+                       | (F.col("next_tick") - F.col("tick") > 1))
+              .select("session_id", "selector",
+                      (F.col("tick") + 1).alias("tick"),
+                      F.lit("close").alias("event")))
+    return opens.unionByName(changes).unionByName(closes)
+
+
+EXTRA_KEYWORDS = ("edit", "create", "add", "delete", "confirm", "save",
+                  "cancel", "close", "settings", "options")
+
+
+def boosted_modal_score(mutations: DataFrame, rules: DataFrame) -> DataFrame:
+    """M3 learned-rule boost (browser-session.ts:1568-1658): broadcast
+    join candidate elements against trained site rules on
+    (domain, page_path); matched rows gain: trained class exact match
+    +40, same position +10, dimensions within ±100 px +15, extra
+    keyword hits ×5. Returns the M2 score + boost as `score`."""
+    base = mutations.withColumn("base_score", modal_score())
+    r = F.broadcast(rules.select(
+        "domain", "page_path",
+        F.col("classes").alias("rule_classes"),
+        F.col("position").alias("rule_position"),
+        F.col("width").alias("rule_width"),
+        F.col("height").alias("rule_height")))
+    j = base.join(r, ["domain", "page_path"], "left")
+    extra_hits = sum(
+        (F.when(F.lower("kw_text").contains(k), 1).otherwise(0)
+         for k in EXTRA_KEYWORDS),
+        start=F.lit(0))
+    boost = (
+        F.when(F.col("rule_classes").isNotNull()
+               & (F.col("classes") == F.col("rule_classes")), 40).otherwise(0)
+        + F.when(F.col("rule_position").isNotNull()
+                 & (F.col("position") == F.col("rule_position")), 10)
+        .otherwise(0)
+        + F.when(F.col("rule_width").isNotNull()
+                 & (F.abs(F.col("width") - F.col("rule_width")) <= 100)
+                 & (F.abs(F.col("height") - F.col("rule_height")) <= 100), 15)
+        .otherwise(0)
+        + F.when(F.col("rule_classes").isNotNull(), extra_hits * 5)
+        .otherwise(0))
+    return (j.withColumn("score", (F.col("base_score") + boost).cast("long"))
+            .drop("rule_classes", "rule_position", "rule_width",
+                  "rule_height", "base_score"))
+
+
+def hierarchical_selector(context: "F.Column", target: "F.Column"):
+    """M5 (browser-session.ts:1211-1290): context elements (structs
+    with tag, first_class, level; level 1 = immediate parent) sorted
+    deepest-ancestor-first, mapped to '.firstClass' or tag, joined
+    with ' > ', then the target selector. body/html ancestors are
+    excluded by the harvest. Native fold — no UDF."""
+    keyed = F.transform(
+        context,
+        lambda c: F.struct((-c["level"]).alias("k"),
+                           F.when(c["first_class"] != "",
+                                  F.concat(F.lit("."), c["first_class"]))
+                           .otherwise(c["tag"]).alias("sel")))
+    parts = F.transform(F.array_sort(keyed), lambda s: s["sel"])
+    chain = F.array_join(parts, " > ")
+    return F.when(F.size(context) == 0, target).otherwise(
+        F.concat(chain, F.lit(" > "), target))
 
 
 def merge_site_rules(state: DataFrame, training: DataFrame) -> DataFrame:

@@ -1,0 +1,89 @@
+"""spark-submit entrypoint for the frontier crawl.
+
+Cluster usage (the production path — north rule):
+
+    cd /root/repo && zip -qr /tmp/crawler_spark.zip crawler_spark
+    spark-submit --py-files /tmp/crawler_spark.zip jobs/crawl_job.py \
+        --web /data/synthetic_web --ckpt /data/ckpt/run1 --out /data/out \
+        --max-depth 8 --rate-limit 100 --politeness
+
+Local (this sandbox):
+
+    python jobs/crawl_job.py --web fixtures/t-smoke \
+        --ckpt /tmp/crawl_ckpt --out /tmp/crawl_out --cores 32
+
+Resumable: re-running with the same --ckpt continues from the last
+completed round (kill it mid-crawl and re-submit; the remaining
+schedule is identical — tests/test_crawl_golden.py::test_resume).
+Outputs: visits/, errors/, image_refs/ parquet under --out, per-round
+metrics + per-partition lineage in <ckpt>/metrics.jsonl."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--web", required=True,
+                    help="dir with web_pages/robots/seeds parquet")
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--max-depth", type=int, default=3)
+    ap.add_argument("--rate-limit", type=int, default=10)
+    ap.add_argument("--sample-mode", action="store_true")
+    ap.add_argument("--restrict-domains", action="store_true")
+    ap.add_argument("--politeness", action="store_true",
+                    help="enforce per-host caps per explore round")
+    ap.add_argument("--bloom", action="store_true",
+                    help="bloom pre-filter on the frontier anti-join")
+    ap.add_argument("--cores", type=int, default=0,
+                    help="local[N]; 0 = let spark-submit decide")
+    args = ap.parse_args()
+
+    from crawler_spark.engine.config import CrawlConfig
+    from crawler_spark.engine.frontier import FrontierEngine
+
+    if args.cores:
+        from crawler_spark.plans.session import get_spark
+
+        spark = get_spark("crawl_job", cores=args.cores,
+                          shuffle_partitions=args.cores)
+    else:  # under spark-submit: master/memory come from the cluster
+        from pyspark.sql import SparkSession
+
+        spark = (SparkSession.builder.appName("crawl_job")
+                 .config("spark.sql.adaptive.enabled", "true")
+                 .config("spark.sql.adaptive.skewJoin.enabled", "true")
+                 .config("spark.sql.session.timeZone", "UTC")
+                 .getOrCreate())
+
+    cfg = CrawlConfig(max_depth=args.max_depth, rate_limit=args.rate_limit,
+                      sample_mode=args.sample_mode,
+                      restrict_domains=args.restrict_domains)
+    eng = FrontierEngine(spark, cfg, args.web, args.ckpt,
+                         enforce_politeness=args.politeness,
+                         use_bloom=args.bloom)
+    t0 = time.time()
+    visits = eng.run()
+    visits.write.mode("overwrite").parquet(os.path.join(args.out, "visits"))
+    visits = spark.read.parquet(os.path.join(args.out, "visits"))
+    eng.errors(visits).write.mode("overwrite").parquet(
+        os.path.join(args.out, "errors"))
+    eng.image_refs(visits).write.mode("overwrite").parquet(
+        os.path.join(args.out, "image_refs"))
+    n = visits.count()
+    dt = time.time() - t0
+    print(json.dumps({"visited_urls": n, "sec": round(dt, 2),
+                      "urls_per_sec": round(n / dt, 1),
+                      "out": args.out}))
+
+
+if __name__ == "__main__":
+    main()

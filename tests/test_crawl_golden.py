@@ -78,6 +78,18 @@ def test_resume_mid_crawl(spark, tmp_path):
     assert got == exp
 
 
+def test_bloom_prefilter_identical_seen_set(spark, tmp_path):
+    """FIXTURES.md inv. 2: identical crawl outputs with and without
+    the bloom pre-filter on the frontier anti-join."""
+    cfg = CrawlConfig(max_depth=3)
+    eng = FrontierEngine(spark, cfg, FIXDIR,
+                         fresh_ckpt(str(tmp_path / "bloom")), use_bloom=True)
+    visits = eng.run()
+    got = [_visit_tuple_engine(r) for r in visits.orderBy("visit_rank").collect()]
+    exp = [_visit_tuple_oracle(v) for v in run_oracle(FIXDIR, cfg).visits]
+    assert got == exp
+
+
 def test_politeness_enforcement(spark, tmp_path):
     """With enforce_politeness=True every explore round starts at most
     host_cap(host) fetches per host (W5/P1 upgraded per-host), and the

@@ -132,6 +132,99 @@ def test_screenshot_dedup_window(spark):
     assert 0 < len(keep) < len(shots)
 
 
+def test_modal_lifecycle(spark):
+    """open/change/close state machine vs sequential replay."""
+    from crawler_spark.streaming.record_mode import modal_lifecycle
+
+    rows = []
+    for s in range(3):
+        for sel in ("div.m1", "div.m2"):
+            for tick in range(30):
+                r = _x(f"lc:{s}:{sel}:{tick}")
+                if r % 3 != 0:  # present at this tick
+                    rows.append(dict(session_id=f"s{s}", selector=sel,
+                                     tick=tick, content=f"c{r % 4}"))
+    # oracle: sequential replay
+    exp = set()
+    from collections import defaultdict
+
+    present = defaultdict(dict)
+    for row in rows:
+        present[(row["session_id"], row["selector"])][row["tick"]] = row["content"]
+    for key, ticks in present.items():
+        last_tick, last_content = None, None
+        for t in sorted(ticks):
+            if last_tick is None or t - last_tick > 1:
+                exp.add((key[0], key[1], t, "open"))
+                if last_tick is not None:
+                    exp.add((key[0], key[1], last_tick + 1, "close"))
+            elif ticks[t] != last_content:
+                exp.add((key[0], key[1], t, "change"))
+            last_tick, last_content = t, ticks[t]
+        exp.add((key[0], key[1], last_tick + 1, "close"))
+    got = {(r["session_id"], r["selector"], r["tick"], r["event"])
+           for r in modal_lifecycle(spark.createDataFrame(rows)).collect()}
+    assert got == exp
+    assert {e for *_, e in exp} == {"open", "change", "close"}
+
+
+def test_boosted_modal_score(spark):
+    """M3 rule-boost vs python oracle."""
+    from crawler_spark.streaming.record_mode import (EXTRA_KEYWORDS,
+                                                     boosted_modal_score)
+
+    muts = []
+    for m in make_mutations()[:60]:
+        m = dict(m)
+        m["domain"] = "www.example.com"
+        m["page_path"] = f"/p{_x('pp:' + m['selector']) % 2}"
+        muts.append(m)
+    rules = [dict(domain="www.example.com", page_path="/p0",
+                  classes="modal-dialog", position="fixed",
+                  width=500.0, height=400.0)]
+    got = {(r["session_id"], r["ts"], r["selector"]): r["score"]
+           for r in boosted_modal_score(
+               spark.createDataFrame(muts),
+               spark.createDataFrame(rules)).collect()}
+    exp = {}
+    for m in muts:
+        s = py_score(m)
+        if m["page_path"] == "/p0":
+            if m["classes"] == "modal-dialog":
+                s += 40
+            if m["position"] == "fixed":
+                s += 10
+            if abs(m["width"] - 500.0) <= 100 and abs(m["height"] - 400.0) <= 100:
+                s += 15
+            s += 5 * sum(1 for k in EXTRA_KEYWORDS if k in m["kw_text"].lower())
+        exp[(m["session_id"], m["ts"], m["selector"])] = s
+    assert got == exp
+
+
+def test_hierarchical_selector(spark):
+    from pyspark.sql import functions as F
+
+    from crawler_spark.streaming.record_mode import hierarchical_selector
+
+    rows = [
+        dict(target="#login", context=[
+            dict(tag="div", first_class="wrapper", level=2),
+            dict(tag="section", first_class="", level=1)]),
+        dict(target="div.modal", context=[
+            dict(tag="main", first_class="content", level=3),
+            dict(tag="div", first_class="", level=2),
+            dict(tag="form", first_class="auth", level=1)]),
+        dict(target="button", context=[]),
+    ]
+    df = spark.createDataFrame(rows)
+    got = [r["sel"] for r in df.select(
+        hierarchical_selector(F.col("context"), F.col("target")).alias("sel")
+    ).collect()]
+    assert got == [".wrapper > section > #login",
+                   ".content > div > .auth > div.modal",
+                   "button"]
+
+
 def test_rules_merge_batches(spark):
     schema = ("domain string, page_path string, selector string, "
               "component_id string, classes string, ts timestamp")
