@@ -27,23 +27,33 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 HEADLINE = [
     "url_canonicalize", "seen_anti_join", "politeness_budget",
     "asof_attribution", "modal_scoring", "dedup_window", "region_rollup",
-    "dedup_exact", "token_jaccard", "trigram_jaccard", "minhash_lsh",
+    "dedup_exact", "trigram_jaccard", "minhash_lsh",
     "simhash_pairs", "lang_id", "quality", "cosine_pairs", "ann_topk",
     "lsh_ann", "image_phash_dedup", "image_thumbnail",
 ]
+# token_jaccard (unigram, t=0.9) is in the correctness battery but not
+# the headline: on this corpus its TRUE result set grows ~quadratically
+# with sf (most word-salad docs exceed 0.9 unigram overlap), so its
+# runtime measures output volume, not engine efficiency.
 
-BENCH_WEB_DIR = os.environ.get("SPARK_GRAFT_BENCH_WEB",
-                               "/tmp/crawler_spark_bench/t-correct")
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
+BENCH_WEB_DIR = os.environ.get(
+    "SPARK_GRAFT_BENCH_WEB",
+    f"/tmp/crawler_spark_bench/web-{BENCH_PAGES}")
 
 
 def ensure_bench_web() -> str:
-    """Generate (once, cached) the t-correct synthetic web: 100k URLs,
-    100 hosts, one mega-host with ~50% of pages."""
+    """Generate (once, cached) the bench synthetic web: BENCH_PAGES
+    URLs, 1000 hosts, one mega-host with ~30% of pages (vectorized
+    generator — see crawler_spark/sources/synth_web.py)."""
     marker = os.path.join(BENCH_WEB_DIR, "web_pages.parquet")
     if not os.path.exists(marker):
-        from crawler_spark.sources.fixtures import generate
+        from crawler_spark.sources.synth_web import generate_bench_web
 
-        generate("t-correct", BENCH_WEB_DIR)
+        print(f"# generating bench web ({BENCH_PAGES} pages)…",
+              file=sys.stderr)
+        print(f"# {generate_bench_web(BENCH_WEB_DIR, BENCH_PAGES)}",
+              file=sys.stderr)
     return BENCH_WEB_DIR
 
 

