@@ -32,7 +32,8 @@ from crawler_spark.operators.dedup import (exact_dedup, jaccard_pairs,
                                            minhash_lsh_pairs, simhash_pairs,
                                            tokens_col)
 from crawler_spark.operators.images import decode_and_phash, phash_dedup
-from crawler_spark.operators.multimodal import caption_stats, thumbnail
+from crawler_spark.operators.multimodal import (audio_features, caption_stats,
+                                                frame_sample, thumbnail)
 from crawler_spark.operators.similarity import (ann_topk, cosine_pairs,
                                                 lsh_bucketed_neighbors)
 from crawler_spark.operators.textstats import (doc_fingerprint, lang_id,
@@ -431,6 +432,27 @@ def q_image_thumbnail(spark, sf_dir):
     return thumbnail(_images(spark)).select("image_id", "mean_luma")
 
 
+def q_audio_features(spark, sf_dir):
+    """Multimodal stub plumbing: opaque binary payloads through the
+    Arrow-batched feature extractor (decode is a deterministic fake —
+    no audio libs in this container; the Spark-side shape is real)."""
+    payload = _images(spark).select(F.col("image_id").alias("sample_id"),
+                                    "bytes")
+    return (audio_features(payload)
+            .select("sample_id", F.col("n_samples").cast("long")
+                    .alias("n_samples"), "rms"))
+
+
+def q_frame_sample(spark, sf_dir):
+    """Multimodal stub plumbing: one-to-many frame sampling over
+    binary payloads (fake fixed-size frames; real ffmpeg would slot
+    into the same mapInPandas shape)."""
+    payload = _images(spark).select(F.col("image_id").alias("video_id"),
+                                    "bytes")
+    return (frame_sample(payload, every_n=10)
+            .groupBy("video_id").agg(F.count("*").alias("n_frames")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -493,6 +515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode": q_image_decode,
         "image_phash_dedup": q_image_phash_dedup,
         "image_thumbnail": q_image_thumbnail,
+        "audio_features": q_audio_features,
+        "frame_sample": q_frame_sample,
     }
 
 

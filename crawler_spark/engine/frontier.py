@@ -262,10 +262,12 @@ class FrontierEngine:
             t_round = time.time()
             if self.enforce_politeness:
                 batch, deferred = self._politeness_select(frontier)
+                batch = batch.cache()
+                n_batch = batch.count()
             else:
+                # parquet-backed frontier: count() is a metadata read
                 batch, deferred = frontier, frontier.limit(0)
-            batch = batch.cache()
-            n_batch = batch.count()
+                n_batch = frontier.count()
             if n_batch == 0:
                 self._save_state({"completed_rounds": rnd, "done": True})
                 break
@@ -278,10 +280,22 @@ class FrontierEngine:
             web_slim = self.web.select("url", "status_code", "title",
                                        "links", "images")
             bsel = batch.select("url", "depth", "host")
-            matched = None
-            if n_batch <= 300_000:
-                matched = web_slim.join(F.broadcast(bsel), "url").cache()
-                missing = bsel.join(matched.select("url"), "url", "left_anti")
+            # broadcast as long as the batch fits the driver: the
+            # plain path shuffles the whole web (links arrays — the
+            # heaviest rows in the system) and its cost was both large
+            # and erratic; a 1.5M-url batch broadcasts at ~150 MB
+            if n_batch <= 1_500_000:
+                # no cache on matched: caching web rows (links arrays)
+                # thrashes the unified memory manager at high thread
+                # counts (measured: local[32] rounds 5x slower than
+                # local[8] with the cache). The web is re-scanned for
+                # the 404 derivation instead — map-side + cheap.
+                matched = web_slim.join(F.broadcast(bsel), "url")
+                missing = bsel.join(
+                    F.broadcast(web_slim.join(
+                        F.broadcast(bsel.select("url")), "url",
+                        "left_semi").select("url")),
+                    "url", "left_anti")
                 fetched = matched.unionByName(missing,
                                               allowMissingColumns=True)
             else:
@@ -292,12 +306,15 @@ class FrontierEngine:
                        .select("url", "depth", "host", "status_code",
                                "title", "links", "images"))
             fetched.write.mode("overwrite").parquet(self._paths("fetched", rnd))
-            if matched is not None:
-                matched.unpersist()
             fetched = self.spark.read.parquet(self._paths("fetched", rnd))
 
+            # repartition before write: the broadcast fetch join
+            # inherits the web scan's split count — downstream rounds
+            # must not (canonicalization + admission over the exploded
+            # links is the per-round CPU hot spot)
+            par = self.spark.sparkContext.defaultParallelism
             edges = extract_edges(fetched.filter(F.col("title").isNotNull()),
-                                  self.cfg)
+                                  self.cfg).repartition(par)
             edges.write.mode("overwrite").parquet(self._paths("edges", rnd))
             edges = self.spark.read.parquet(self._paths("edges", rnd))
 
@@ -348,7 +365,8 @@ class FrontierEngine:
                                        for r in part_counts])
             with open(os.path.join(self.ckpt, "metrics.jsonl"), "a") as f:
                 f.write(json.dumps(metrics) + "\n")
-            batch.unpersist()
+            if self.enforce_politeness:
+                batch.unpersist()
             frontier = self.spark.read.parquet(self._paths("frontier", rnd + 1))
             rnd += 1
             self._save_state({"completed_rounds": rnd, "done": False})
@@ -382,14 +400,18 @@ class FrontierEngine:
         cross-checking (tests assert both agree) and as the basis of
         the certified-finalized-prefix variant."""
         cfg = self.cfg
-        edges = (self.spark.read.parquet(self._paths("edges"))
-                 .select("parent_url", "link_index", "child_url"))
-        # admission is claim-side (per candidate call's target URL)
-        cand_admit = admit(edges.select(F.col("child_url").alias("url"))
-                           .distinct(),
-                           "url", self.robots, self.allowed_hosts, cfg)
-        edges = edges.join(cand_admit.select(F.col("url").alias("child_url")),
-                           "child_url").localCheckpoint()
+        edges_raw = (self.spark.read.parquet(self._paths("edges"))
+                     .select("parent_url", "link_index", "child_url"))
+        # admission is claim-side (per candidate call's target URL) —
+        # applied DIRECTLY on the edge rows: the robots join is a
+        # broadcast map-side hash join, so no shuffle ever touches the
+        # edge set (a distinct-then-join-back formulation shuffled
+        # 9M url strings twice and dominated resolve)
+        edges = (admit(edges_raw.withColumnRenamed("child_url", "url"),
+                       "url", self.robots, self.allowed_hosts, cfg)
+                 .withColumnRenamed("url", "child_url")
+                 .select("parent_url", "link_index", "child_url")
+                 .localCheckpoint())
         seeds = self.seed_claims().localCheckpoint()
         if strategy == "skeleton":
             claims = self._resolve_skeleton(edges, seeds)
@@ -404,14 +426,31 @@ class FrontierEngine:
 
         self.timings = getattr(self, "timings", {})
         t0 = time.time()
+        # all-numeric skeleton: host identity as a 64-bit hash so the
+        # Arrow collect carries zero Python string objects (strings
+        # made this collect the dominant resolve cost). Politeness
+        # caps are looked up driver-side through the bit-exact
+        # pure-Python XXH64 of the robots hosts — no join before the
+        # collect (a broadcast join ahead of toPandas measured 7x
+        # slower than the plain projection).
+        from ..core.xxhash64 import spark_xxhash64_str
+
         skel = (edges.select(
             url_hash(F.col("parent_url")).alias("p"),
             F.col("link_index").alias("i"),
-            url_hash(F.col("child_url")).alias("c")).toPandas())
+            url_hash(F.col("child_url")).alias("c"),
+            F.xxhash64(url_host(F.col("child_url"))).alias("ch"))
+            .toPandas())
         self.timings["skeleton_collect"] = round(time.time() - t0, 2)
         t0 = time.time()
         seed_rows = seeds.select(
-            url_hash(F.col("url")).alias("h"), "prio").collect()
+            url_hash(F.col("url")).alias("h"), "prio",
+            F.xxhash64(url_host(F.col("url"))).alias("hostk")).collect()
+        cap_by_hostk = {
+            spark_xxhash64_str(r["host"]):
+                self.cfg.host_cap(r["crawl_delay_ms"] or 0)
+            for r in self.robots.select("host", "crawl_delay_ms").collect()}
+        default_cap = self.cfg.host_cap(0)
         # group edges by parent via sort + slice (numpy, no dicts)
         import numpy as np
 
@@ -420,6 +459,7 @@ class FrontierEngine:
         p_sorted = p[order]
         i_sorted = skel["i"].to_numpy()[order]
         c_sorted = skel["c"].to_numpy()[order]
+        ch_sorted = skel["ch"].to_numpy()[order]
 
         def children_of(ph: int):
             lo = np.searchsorted(p_sorted, ph, side="left")
@@ -427,24 +467,38 @@ class FrontierEngine:
             # DOM order: link_index ascending
             seg = slice(lo, hi)
             idx = np.argsort(i_sorted[seg], kind="stable")
-            return i_sorted[seg][idx], c_sorted[seg][idx]
+            return (i_sorted[seg][idx], c_sorted[seg][idx],
+                    ch_sorted[seg][idx])
 
-        heap = [(r["prio"], 0, int(r["h"]), None, -1) for r in seed_rows]
+        # The sweep pops claims in EXACT visit order, so the global
+        # visit rank AND the per-host politeness batch schedule
+        # (k-th visit of host h → batch k // cap(h), oracle
+        # assign_batches semantics) fall out for free — no global or
+        # per-host window over the full visit set afterwards (those
+        # single-partition sorts were the scaling bottleneck).
+        heap = [(r["prio"], 0, int(r["h"]), None, -1, int(r["hostk"]))
+                for r in seed_rows]
         heapq.heapify(heap)
         claimed: dict[int, tuple] = {}
+        host_counts: dict[int, int] = {}
         maxd = self.cfg.max_depth
+        rank = 0
         while heap:
-            prio, depth, h, parent, li = heapq.heappop(heap)
+            prio, depth, h, parent, li, hostk = heapq.heappop(heap)
             if h in claimed:
                 continue
-            claimed[h] = (prio, depth, parent, li)
+            k = host_counts.get(hostk, 0)
+            host_counts[hostk] = k + 1
+            claimed[h] = (prio, depth, parent, li, rank,
+                          k // cap_by_hostk.get(hostk, default_cap))
+            rank += 1
             if depth < maxd:
-                for i, ch in zip(*children_of(h)):
+                for i, ch, chh in zip(*children_of(h)):
                     chi = int(ch)
                     if chi not in claimed:
                         heapq.heappush(
                             heap, (prio + _hex_prio_py(int(i)),
-                                   depth + 1, chi, h, int(i)))
+                                   depth + 1, chi, h, int(i), int(chh)))
         self.timings["heap_sweep"] = round(time.time() - t0, 2)
         t0 = time.time()
         import pandas as pd
@@ -455,19 +509,28 @@ class FrontierEngine:
              "depth": [v[1] for v in claimed.values()],
              "parent_h": pd.array([v[2] for v in claimed.values()],
                                   dtype="Int64"),  # nullable (seeds)
-             "link_index": [v[3] for v in claimed.values()]})
+             "link_index": [v[3] for v in claimed.values()],
+             "visit_rank": [v[4] for v in claimed.values()],
+             "batch_id": [v[5] for v in claimed.values()]})
         claims_df = self.spark.createDataFrame(
             pdf, "h long, prio string, depth int, parent_h long, "
-                 "link_index int")
-        # map hashes back to url strings (distributed dictionary)
+                 "link_index int, visit_rank long, batch_id long")
+        # map hashes back to url strings: semi-join the edge children
+        # against the claimed hashes FIRST (shrinks 9M edge rows to
+        # the ~claim count before the dedup shuffle)
+        claimed_h = claims_df.select("h")
         urls = (edges.select(F.col("child_url").alias("url"))
-                .unionByName(seeds.select("url")).distinct()
-                .withColumn("h", url_hash(F.col("url"))))
+                .withColumn("h", url_hash(F.col("url")))
+                .join(F.broadcast(claimed_h), "h", "left_semi")
+                .unionByName(seeds.select(
+                    "url", url_hash(F.col("url")).alias("h")))
+                .dropDuplicates(["h"]))
         out = (claims_df.join(urls, "h")
                .join(urls.select(F.col("h").alias("parent_h"),
                                  F.col("url").alias("parent_url")),
                      "parent_h", "left")
-               .select("url", "prio", "depth", "parent_url", "link_index"))
+               .select("url", "prio", "depth", "parent_url", "link_index",
+                       "visit_rank", "batch_id"))
         out = out.localCheckpoint()
         self.timings["claims_rejoin"] = round(time.time() - t0, 2)
         return out
@@ -521,9 +584,11 @@ class FrontierEngine:
         return claims
 
     def _finalize_visits(self, claims: DataFrame) -> DataFrame:
-        """Attach statuses + visit rank + politeness batch schedule to
-        resolved claims. Claims of never-materialized URLs are 404s
-        (dead links — fetched as absent)."""
+        """Attach statuses (+ visit rank / politeness batch schedule
+        when the resolver didn't already provide them — the skeleton
+        sweep emits both for free, in exact visit order). Claims of
+        never-materialized URLs are 404s (dead links — fetched as
+        absent)."""
         cfg = self.cfg
         fetched = (self.spark.read.parquet(self._paths("fetched"))
                    .select("url", "status_code").distinct())
@@ -532,13 +597,17 @@ class FrontierEngine:
                               F.coalesce("status_code", F.lit(404)))
                   .withColumn("host", url_host(F.col("url")))
                   .withColumn("url_hash", url_hash(F.col("url"))))
-        # global visit rank = row_number over prio. Scale note: at
+        if "visit_rank" in claims.columns:
+            return visits.select("visit_rank", "url", "url_hash", "host",
+                                 "depth", "parent_url", "link_index",
+                                 "prio", "status_code", "batch_id")
+        # fixpoint path: rank + schedule via windows. Scale note: at
         # 10^10 rows replace with repartitionByRange(prio) + per-
         # partition rank + offset join; window-over-all is fine at
         # test scale and keeps the plan obvious.
         visits = visits.withColumn(
             "visit_rank",
-            F.row_number().over(Window.orderBy("prio")) - 1)
+            (F.row_number().over(Window.orderBy("prio")) - 1).cast("long"))
         # politeness schedule: k-th visit of host h → batch k//cap(h)
         cap_col = F.coalesce(
             F.when(F.col("crawl_delay_ms") > 0,

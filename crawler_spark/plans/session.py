@@ -36,6 +36,16 @@ def get_spark(app: str = "crawler_spark", cores: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # smaller input splits: scan parallelism should come from the
+        # data, not from how many files the generator happened to write
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # shuffle/broadcast scratch on tmpfs: the sandbox's /tmp is a
+        # virtual disk and shuffle-heavy stages serialize on its IO
+        # regardless of cores (measured; on a real cluster this is
+        # NVMe-backed local dirs)
+        .config("spark.local.dir",
+                os.environ.get("SPARK_GRAFT_LOCAL_DIR",
+                               "/dev/shm/spark-local"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -241,6 +241,39 @@ def hierarchical_selector(context: "F.Column", target: "F.Column"):
         F.concat(chain, F.lit(" > "), target))
 
 
+def detect_parent_components(components: DataFrame) -> DataFrame:
+    """M7 parent-modal detection (browser-session.ts:1446-1494): a
+    trained component's parent is the same-page component whose DOM
+    node-path strictly contains it — re-expressed as a hierarchical
+    prefix match on the `node_path` column ('0/3/1/2'-style index
+    paths), choosing the DEEPEST containing ancestor (the reference
+    walks up from the element, so the nearest ancestor wins).
+
+    Self-join on (domain, page_path), prefix containment filter,
+    argmax ancestor depth per child. Shuffles once on the page key —
+    rules tables are small, the join broadcasts."""
+    c = components.select("domain", "page_path", "component_id", "node_path")
+    child = c.select("domain", "page_path",
+                     F.col("component_id").alias("child_id"),
+                     F.col("node_path").alias("child_path"))
+    parent = c.select("domain", "page_path",
+                      F.col("component_id").alias("parent_id"),
+                      F.col("node_path").alias("parent_path"))
+    j = (child.join(F.broadcast(parent), ["domain", "page_path"])
+         .filter((F.col("child_id") != F.col("parent_id"))
+                 & F.col("child_path").startswith(
+                     F.concat(F.col("parent_path"), F.lit("/")))))
+    w = Window.partitionBy("domain", "page_path", "child_id").orderBy(
+        F.length("parent_path").desc(), F.col("parent_id"))
+    nearest = (j.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1)
+               .select("domain", "page_path",
+                       F.col("child_id").alias("component_id"),
+                       F.col("parent_id")))
+    return (components.join(nearest,
+                            ["domain", "page_path", "component_id"], "left"))
+
+
 def merge_site_rules(state: DataFrame, training: DataFrame) -> DataFrame:
     """M4 rules MERGE: upsert trained components keyed by (domain,
     page_path, selector). New keys insert with version 1; existing

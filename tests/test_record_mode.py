@@ -225,6 +225,30 @@ def test_hierarchical_selector(spark):
                    "button"]
 
 
+def test_parent_containment(spark):
+    """M7: nearest containing ancestor by node-path prefix."""
+    from crawler_spark.streaming.record_mode import detect_parent_components
+
+    rows = [
+        dict(domain="d", page_path="/p", component_id="root", node_path="0"),
+        dict(domain="d", page_path="/p", component_id="mid", node_path="0/2"),
+        dict(domain="d", page_path="/p", component_id="leaf",
+             node_path="0/2/5"),
+        dict(domain="d", page_path="/p", component_id="other",
+             node_path="1/4"),
+        dict(domain="d", page_path="/q", component_id="qroot",
+             node_path="0/2"),  # same prefix, different page
+        # '0/22' must NOT be contained by '0/2' (segment boundary)
+        dict(domain="d", page_path="/p", component_id="sib",
+             node_path="0/22"),
+    ]
+    got = {r["component_id"]: r["parent_id"]
+           for r in detect_parent_components(
+               spark.createDataFrame(rows)).collect()}
+    assert got == {"root": None, "mid": "root", "leaf": "mid",
+                   "other": None, "qroot": None, "sib": "root"}
+
+
 def test_rules_merge_batches(spark):
     schema = ("domain string, page_path string, selector string, "
               "component_id string, classes string, ts timestamp")

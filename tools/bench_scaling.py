@@ -36,10 +36,11 @@ print("RESULT " + json.dumps(res))
 """
 
 
-def run_one(cores: int, depth: int) -> dict:
+def run_one(cores: int, depth: int, pages: int) -> dict:
     code = CHILD.format(repo=REPO, cores=cores, depth=depth)
+    env = dict(os.environ, SPARK_GRAFT_BENCH_PAGES=str(pages))
     p = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                       text=True, cwd=REPO, check=False)
+                       text=True, cwd=REPO, check=False, env=env)
     for line in p.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -51,25 +52,36 @@ def main() -> None:
     ap.add_argument("--small", type=int, default=8)
     ap.add_argument("--large", type=int, default=32)
     ap.add_argument("--depth", type=int, default=8)
+    ap.add_argument("--pages", type=int, default=1_000_000)
     ap.add_argument("--json", default="")
     args = ap.parse_args()
 
-    # generate once before timing (cached by ensure_bench_web)
+    # generate once before timing (cached by ensure_bench_web); the
+    # page count is pinned via env so BOTH children run the same input
     sys.path.insert(0, REPO)
+    os.environ["SPARK_GRAFT_BENCH_PAGES"] = str(args.pages)
     from bench import ensure_bench_web
 
     ensure_bench_web()
 
-    small = run_one(args.small, args.depth)
-    large = run_one(args.large, args.depth)
+    small = run_one(args.small, args.depth, args.pages)
+    large = run_one(args.large, args.depth, args.pages)
     ratio = args.large / args.small
     eff = (large["urls_per_sec"] / (ratio * small["urls_per_sec"]))
+    eff_explore = (large["explore_urls_per_sec"]
+                   / (ratio * small["explore_urls_per_sec"]))
     out = {
         "small_cores": args.small, "large_cores": args.large,
         "small": small, "large": large,
         "speedup": round(large["urls_per_sec"] / small["urls_per_sec"], 3),
         "ideal_ratio": ratio,
         "scaling_efficiency": round(eff, 3),
+        "explore_speedup": round(large["explore_urls_per_sec"]
+                                 / small["explore_urls_per_sec"], 3),
+        "explore_scaling_efficiency": round(eff_explore, 3),
+        "note": ("explore = distributed schedule+fetch loop; resolve = "
+                 "sequential exact-DFS ordering sweep (P-complete, "
+                 "constant by design)"),
     }
     print(json.dumps(out, indent=2))
     if args.json:
