@@ -308,6 +308,169 @@ def q_sitemap_children(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# record-mode / HTML operator families (SURVEY.md §2.8-2.9) over
+# deterministic derivations of the driver tables
+# ---------------------------------------------------------------------------
+
+def q_modal_lifecycle(spark, sf_dir):
+    """ST3: keyed modal state machine (open → change → close) over
+    presence snapshots derived from events (session=user, selector=
+    event_type, tick=floor(value/5))."""
+    from crawler_spark.streaming.record_mode import modal_lifecycle
+    e = _t(spark, sf_dir, "events")
+    snaps = (e.groupBy(F.col("user_id").alias("session_id"),
+                       F.col("event_type").alias("selector"),
+                       F.floor(F.col("value") / 5).cast("long").alias("tick"))
+             .agg(F.coalesce(F.min(F.get_json_object("props", "$.k")),
+                             F.lit("")).alias("content")))
+    return (modal_lifecycle(snaps)
+            .select("session_id", "selector",
+                    F.col("tick").cast("long").alias("tick"), "event"))
+
+
+def q_rules_merge(spark, sf_dir):
+    """M4: site-rules MERGE (upsert keyed by domain/page_path/selector,
+    version bump, last-writer-wins within the batch) — state from
+    nation, training batch from customer."""
+    from crawler_spark.streaming.record_mode import merge_site_rules
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    state = n.select(
+        F.concat(F.lit("d"), (F.col("n_nationkey") % 5).cast("string"))
+        .alias("domain"),
+        F.lit("/p").alias("page_path"),
+        F.concat(F.lit("s"), F.floor(F.col("n_nationkey") / 5).cast("string"))
+        .alias("selector"),
+        F.concat(F.lit("c"), F.col("n_nationkey").cast("string"))
+        .alias("component_id"),
+        F.col("n_name").alias("classes"),
+        F.lit(0).cast("long").alias("updated_ts"),
+        (F.lit(1) + F.col("n_nationkey") % 2).cast("long").alias("version"))
+    training = c.select(
+        F.concat(F.lit("d"), (F.col("c_custkey") % 6).cast("string"))
+        .alias("domain"),
+        F.lit("/p").alias("page_path"),
+        F.concat(F.lit("s"), (F.col("c_custkey") % 7).cast("string"))
+        .alias("selector"),
+        F.concat(F.lit("t"), F.col("c_custkey").cast("string"))
+        .alias("component_id"),
+        F.col("c_mktsegment").alias("classes"),
+        F.col("c_custkey").cast("long").alias("ts"))
+    return merge_site_rules(state, training).select(
+        "domain", "page_path", "selector", "component_id", "classes",
+        "version")
+
+
+def q_parent_components(spark, sf_dir):
+    """M7: parent-component detection via DOM node-path prefix
+    containment (nearest containing ancestor wins)."""
+    from crawler_spark.streaming.record_mode import detect_parent_components
+    p = _t(spark, sf_dir, "part")
+    depth = F.col("p_partkey") % 3
+    node_path = (
+        F.when(depth == 0, F.lit("0"))
+        .when(depth == 1, F.concat(F.lit("0/"),
+                                   (F.col("p_partkey") % 4).cast("string")))
+        .otherwise(F.concat(F.lit("0/"),
+                            (F.col("p_partkey") % 4).cast("string"),
+                            F.lit("/"),
+                            (F.col("p_partkey") % 6).cast("string"))))
+    comp = p.select(
+        F.concat(F.lit("d"), (F.col("p_partkey") % 20).cast("string"))
+        .alias("domain"),
+        F.lit("/").alias("page_path"),
+        F.col("p_partkey").cast("long").alias("component_id"),
+        node_path.alias("node_path"))
+    return (detect_parent_components(comp)
+            .select("domain", "component_id", "node_path", "parent_id"))
+
+
+def q_hier_selector(spark, sf_dir):
+    """M5: hierarchical selector synthesis (deepest-ancestor-first
+    fold over context elements; native array fold, no UDF)."""
+    from crawler_spark.streaming.record_mode import hierarchical_selector
+    p = _t(spark, sf_dir, "part")
+    first_cls = F.lower(F.split(F.col("p_type"), " ")[0])
+    ctx_t = "array<struct<tag:string,first_class:string,level:int>>"
+    ctx = F.when(F.col("p_partkey") % 4 == 0, F.array().cast(ctx_t)).otherwise(
+        F.array(
+            F.struct(F.lit("div").alias("tag"),
+                     first_cls.alias("first_class"),
+                     F.lit(1).alias("level")),
+            F.struct(F.lit("section").alias("tag"),
+                     F.lit("").alias("first_class"),
+                     F.lit(2).alias("level"))).cast(ctx_t))
+    target = F.concat(F.lit("#el-"), F.col("p_partkey").cast("string"))
+    return p.select("p_partkey",
+                    hierarchical_selector(ctx, target).alias("selector"))
+
+
+def q_html_sanitize(spark, sf_dir):
+    """E13: no-JS HTML sanitizer (strip scripts + on* handlers,
+    absolutize root-relative refs, banner) — Arrow-batched UDF."""
+    from crawler_spark.operators.html import sanitize_html
+    p = _t(spark, sf_dir, "part")
+    html = F.concat(
+        F.lit('<script>track()</script><div onclick="go()"><a href="/p/'),
+        F.col("p_partkey").cast("string"), F.lit('">'), F.col("p_name"),
+        F.lit("</a></div>"))
+    return p.select(
+        "p_partkey",
+        sanitize_html(html, F.lit("https://example.com/x")).alias("html"))
+
+
+def q_content_diff(spark, sf_dir):
+    """E11: first-divergence content diff ('Changed from position i:
+    "…50" to "…50"'; NULL when equal)."""
+    from crawler_spark.operators.html import content_diff
+    p = _t(spark, sf_dir, "part")
+    prev = F.col("p_name")
+    cur = (F.when(F.col("p_partkey") % 5 == 0, prev)
+           .when(F.col("p_partkey") % 3 == 0,
+                 F.concat(F.lit("Z"), F.substring(prev, 2, 1000000)))
+           .otherwise(F.concat(prev, F.lit(" X"))))
+    return p.select("p_partkey", content_diff(prev, cur).alias("diff"))
+
+
+def q_screenshot_dedup(spark, sf_dir):
+    """ST4: keyed-state screenshot dedup — previous-KEPT 3 s window
+    chain per (session, component, reason), grouped applyInPandas
+    (sequential within key, parallel across keys). No SQL oracle: the
+    kept-chain recurrence isn't expressible in one SQL pass; semantics
+    pinned by tests/test_record_mode.py."""
+    from crawler_spark.streaming.record_mode import dedup_screenshots
+    e = _t(spark, sf_dir, "events")
+    shots = e.select(
+        F.col("user_id").alias("session_id"),
+        F.col("event_type").alias("component_id"),
+        F.concat(F.lit("r"), (F.col("event_id") % 2).cast("string"))
+        .alias("reason"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("shot_id"))
+    return dedup_screenshots(shots).select("shot_id")
+
+
+def q_frontier_crawl(spark, sf_dir):
+    """The engine end-to-end (S1/S2/F1-F5/J1/W1/W5/SO1): explore +
+    exact-DFS resolve over the deterministic t-smoke synthetic web.
+    No SQL oracle — exact crawl order is sequential-DFS semantics;
+    pinned row-for-row against the reference simulator in
+    tests/test_crawl_golden.py."""
+    import tempfile
+
+    from crawler_spark.engine.config import CrawlConfig
+    from crawler_spark.engine.frontier import FrontierEngine, fresh_ckpt
+    fixture = os.path.join(_REPO, "fixtures", "t-smoke")
+    ck = fresh_ckpt(os.path.join(tempfile.gettempdir(),
+                                 "crawler_spark_contract_crawl"))
+    eng = FrontierEngine(spark, CrawlConfig(max_depth=3, rate_limit=100),
+                         fixture, ck)
+    visits = eng.run()
+    return visits.select("visit_rank", "url", "depth", "status_code",
+                         "batch_id")
+
+
+# ---------------------------------------------------------------------------
 # training-data pipeline: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
 
@@ -496,6 +659,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_rollup": q_region_rollup,
         "training_freq": q_training_freq,
         "sitemap_children": q_sitemap_children,
+        # record-mode / HTML families (§2.8-2.9) + the engine itself
+        "modal_lifecycle": q_modal_lifecycle,
+        "rules_merge": q_rules_merge,
+        "parent_components": q_parent_components,
+        "hier_selector": q_hier_selector,
+        "html_sanitize": q_html_sanitize,
+        "content_diff": q_content_diff,
+        "screenshot_dedup": q_screenshot_dedup,
+        "frontier_crawl": q_frontier_crawl,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "token_jaccard": q_token_jaccard,
@@ -757,6 +929,104 @@ SELECT n_name, count(*) AS n_children, min(c_name) AS first_child
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """,
+        "modal_lifecycle": """
+WITH snaps AS (
+  SELECT user_id AS session_id, event_type AS selector,
+         CAST(floor(value/5) AS BIGINT) AS tick,
+         coalesce(min(json_extract_string(props,'$.k')), '') AS content
+  FROM events GROUP BY 1, 2, 3),
+d AS (
+  SELECT *, lag(tick) OVER w AS prev_tick,
+         lag(content) OVER w AS prev_content,
+         lead(tick) OVER w AS next_tick
+  FROM snaps WINDOW w AS (PARTITION BY session_id, selector ORDER BY tick))
+SELECT session_id, selector, tick, 'open' AS event FROM d
+ WHERE prev_tick IS NULL OR tick - prev_tick > 1
+UNION ALL
+SELECT session_id, selector, tick, 'change' FROM d
+ WHERE tick - prev_tick = 1 AND content != prev_content
+UNION ALL
+SELECT session_id, selector, tick + 1, 'close' FROM d
+ WHERE next_tick IS NULL OR next_tick - tick > 1
+""",
+        "rules_merge": """
+WITH state AS (
+  SELECT 'd' || (n_nationkey % 5) AS domain, '/p' AS page_path,
+         's' || CAST(floor(n_nationkey/5) AS BIGINT) AS selector,
+         'c' || n_nationkey AS component_id, n_name AS classes,
+         CAST(1 + n_nationkey % 2 AS BIGINT) AS version
+  FROM nation),
+batch AS (
+  SELECT domain, page_path, selector, component_id, classes FROM (
+    SELECT 'd' || (c_custkey % 6) AS domain, '/p' AS page_path,
+           's' || (c_custkey % 7) AS selector,
+           't' || c_custkey AS component_id, c_mktsegment AS classes,
+           row_number() OVER (PARTITION BY c_custkey % 6, c_custkey % 7
+                              ORDER BY c_custkey DESC) AS rn
+    FROM customer) WHERE rn = 1)
+SELECT b.domain, b.page_path, b.selector, b.component_id, b.classes,
+       coalesce(s.version, 0) + 1 AS version
+FROM batch b LEFT JOIN state s USING (domain, page_path, selector)
+UNION ALL
+SELECT s.domain, s.page_path, s.selector, s.component_id, s.classes,
+       s.version
+FROM state s ANTI JOIN batch b USING (domain, page_path, selector)
+""",
+        "parent_components": """
+WITH comp AS (
+  SELECT 'd' || (p_partkey % 20) AS domain,
+         CAST(p_partkey AS BIGINT) AS component_id,
+         CASE WHEN p_partkey % 3 = 0 THEN '0'
+              WHEN p_partkey % 3 = 1 THEN '0/' || (p_partkey % 4)
+              ELSE '0/' || (p_partkey % 4) || '/' || (p_partkey % 6)
+         END AS node_path
+  FROM part),
+j AS (
+  SELECT c.domain, c.component_id, c.node_path,
+         pa.component_id AS parent_id,
+         row_number() OVER (PARTITION BY c.domain, c.component_id
+                            ORDER BY length(pa.node_path) DESC,
+                                     pa.component_id) AS rn
+  FROM comp c JOIN comp pa
+    ON c.domain = pa.domain AND c.component_id != pa.component_id
+   AND starts_with(c.node_path, pa.node_path || '/'))
+SELECT domain, component_id, node_path, parent_id FROM j WHERE rn = 1
+UNION ALL
+SELECT c.domain, c.component_id, c.node_path,
+       CAST(NULL AS BIGINT) AS parent_id
+FROM comp c
+WHERE NOT EXISTS (
+  SELECT 1 FROM comp pa
+  WHERE pa.domain = c.domain AND pa.component_id != c.component_id
+    AND starts_with(c.node_path, pa.node_path || '/'))
+""",
+        "hier_selector": """
+SELECT p_partkey,
+       CASE WHEN p_partkey % 4 = 0 THEN '#el-' || p_partkey
+            ELSE 'section > .' || lower(string_split(p_type, ' ')[1])
+                 || ' > #el-' || p_partkey
+       END AS selector
+FROM part
+""",
+        "html_sanitize": """
+SELECT p_partkey,
+       '<!-- static no-js snapshot -->' || chr(10)
+         || '<div><a href="https://example.com/p/' || p_partkey || '">'
+         || p_name || '</a></div>' AS html
+FROM part
+""",
+        "content_diff": """
+SELECT p_partkey,
+       CASE WHEN p_partkey % 5 = 0 THEN NULL
+            WHEN p_partkey % 3 = 0 THEN
+              'Changed from position 0: "' || substring(p_name, 1, 50)
+                || '" to "'
+                || substring('Z' || substring(p_name, 2), 1, 50) || '"'
+            ELSE 'Changed from position ' || length(p_name)
+                 || ': "" to " X"'
+       END AS diff
+FROM part
+""",
         "dedup_exact": """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
            AS fingerprint,
@@ -820,4 +1090,8 @@ FROM read_parquet('{_IMG_FIXTURES}')
         # hash-seeded or pixel-level ops DuckDB can't replicate —
         # rows-only checks; semantics pinned by pytest oracles instead
         # (tests/test_dedup_text.py, tests/test_images.py).
+        # screenshot_dedup / frontier_crawl: sequential keyed-state /
+        # exact-DFS semantics with no single-pass SQL equivalent —
+        # rows-only checks; pinned row-for-row by
+        # tests/test_record_mode.py and tests/test_crawl_golden.py.
     }

@@ -92,7 +92,8 @@ def run_frontier_bench(spark, max_depth: int = 8) -> dict:
             "urls_per_sec": round(n / dt, 1),
             "explore_sec": round(t_explore, 2),
             "explore_urls_per_sec": round(n / t_explore, 1),
-            "resolve_sec": round(t_resolve, 2)}
+            "resolve_sec": round(t_resolve, 2),
+            "resolve_steps": getattr(eng, "timings", {})}
 
 
 def main() -> None:

@@ -116,13 +116,14 @@ def extract_edges(pages: DataFrame, cfg: CrawlConfig) -> DataFrame:
     links = F.filter("links", lambda l: F.array_contains(tags, l["element_type"]))
     if cfg.sample_mode:
         links = F.slice(links, 1, 1)
+    depth_cols = (["depth"] if "depth" in pages.columns else [])
     e = (
         pages.filter(F.col("status_code") != 0)
-        .select(F.col("url").alias("parent_url"),
+        .select(F.col("url").alias("parent_url"), *depth_cols,
                 F.regexp_extract("url", r"^(https?://[^/]+)", 1).alias("origin"),
                 F.explode(links).alias("l"))
         .select(
-            "parent_url",
+            "parent_url", *depth_cols,
             F.col("l.link_index").alias("link_index"),
             F.trim(F.col("l.href")).alias("href"),
             "origin",
@@ -135,7 +136,7 @@ def extract_edges(pages: DataFrame, cfg: CrawlConfig) -> DataFrame:
             .otherwise(F.lit(None)),
         )
         .filter(F.col("abs_url").isNotNull())
-        .select("parent_url", "link_index",
+        .select("parent_url", *depth_cols, "link_index",
                 canonicalize_url(F.col("abs_url")).alias("child_url"))
     )
     return e
@@ -195,6 +196,19 @@ class FrontierEngine:
         if rnd is None:
             return os.path.join(self.ckpt, name)
         return os.path.join(self.ckpt, name, f"round={rnd:05d}")
+
+    @staticmethod
+    def _footer_rows(path: str) -> dict[str, int]:
+        """Per-file row counts from parquet footers (driver-side, no
+        Spark job): the written files ARE the partitions, so this is
+        the per-partition lineage for free."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, int] = {}
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".parquet"):
+                out[f] = pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        return out
 
     def _state(self) -> dict:
         p = os.path.join(self.ckpt, "_state.json")
@@ -260,109 +274,124 @@ class FrontierEngine:
         frontier = self.spark.read.parquet(self._paths("frontier", rnd))
         while rnd < max_rounds:
             t_round = time.time()
+            steps: dict[str, float] = {}
+            t_step = time.time()
+
+            def tick(name: str) -> None:
+                nonlocal t_step
+                steps[name] = round(time.time() - t_step, 2)
+                t_step = time.time()
             if self.enforce_politeness:
                 batch, deferred = self._politeness_select(frontier)
                 batch = batch.cache()
                 n_batch = batch.count()
             else:
-                # parquet-backed frontier: count() is a metadata read
+                # no Spark job: row count from the parquet footers of
+                # the frontier round just written
                 batch, deferred = frontier, frontier.limit(0)
-                n_batch = frontier.count()
+                n_batch = sum(
+                    self._footer_rows(self._paths("frontier", rnd)).values())
+            tick("select")
             if n_batch == 0:
                 self._save_state({"completed_rounds": rnd, "done": True})
                 break
             # fetch = join against the synthetic web (deterministic
-            # stand-in for a mapInPandas HTTP stage); absent URL → 404.
-            # When the batch is broadcastable, stream the web through a
-            # broadcast hash join instead of shuffling it every round —
-            # the web side never moves (matched rows cached, the small
-            # anti-join derives the 404s).
+            # stand-in for a mapInPandas HTTP stage). URLs absent from
+            # the web are dead links and need no row — everything
+            # downstream (seen anti-join, finalize, errors) defaults an
+            # attempted-but-never-materialized URL to 404 (the
+            # attempted set IS the union of frontier rounds, so no
+            # separate attempted table is written).
+            # One web scan + one broadcast per round.
             web_slim = self.web.select("url", "status_code", "title",
                                        "links", "images")
             bsel = batch.select("url", "depth", "host")
             # broadcast as long as the batch fits the driver: the
             # plain path shuffles the whole web (links arrays — the
             # heaviest rows in the system) and its cost was both large
-            # and erratic; a 1.5M-url batch broadcasts at ~150 MB
+            # and erratic; a 1.5M-url batch broadcasts at ~150 MB.
+            # No cache on the join output: caching web rows (links
+            # arrays) thrashes the unified memory manager at high
+            # thread counts (measured: local[32] rounds 5x slower
+            # than local[8] with the cache).
             if n_batch <= 1_500_000:
-                # no cache on matched: caching web rows (links arrays)
-                # thrashes the unified memory manager at high thread
-                # counts (measured: local[32] rounds 5x slower than
-                # local[8] with the cache). The web is re-scanned for
-                # the 404 derivation instead — map-side + cheap.
-                matched = web_slim.join(F.broadcast(bsel), "url")
-                missing = bsel.join(
-                    F.broadcast(web_slim.join(
-                        F.broadcast(bsel.select("url")), "url",
-                        "left_semi").select("url")),
-                    "url", "left_anti")
-                fetched = matched.unionByName(missing,
-                                              allowMissingColumns=True)
+                fetched = web_slim.join(F.broadcast(bsel), "url")
             else:
-                fetched = bsel.join(web_slim, "url", "left")
-            fetched = (fetched
-                       .withColumn("status_code",
-                                   F.coalesce("status_code", F.lit(404)))
-                       .select("url", "depth", "host", "status_code",
-                               "title", "links", "images"))
+                fetched = bsel.join(web_slim, "url", "inner")
+            fetched = fetched.select("url", "depth", "host", "status_code",
+                                     "title", "links", "images")
             fetched.write.mode("overwrite").parquet(self._paths("fetched", rnd))
             fetched = self.spark.read.parquet(self._paths("fetched", rnd))
+            tick("fetch")
 
-            # repartition before write: the broadcast fetch join
-            # inherits the web scan's split count — downstream rounds
-            # must not (canonicalization + admission over the exploded
-            # links is the per-round CPU hot spot)
+            # balance BEFORE the hot stage: explode+canonicalize over
+            # the links arrays is the per-round CPU hot spot, and the
+            # fetched files are byte-light (snappy ~5-10x) — an
+            # explicit repartition of the page rows guarantees the
+            # heavy work fans out to every core no matter what split
+            # count the scan produced (repartitioning the *output*
+            # instead left the canonicalization on 1-2 tasks)
             par = self.spark.sparkContext.defaultParallelism
-            edges = extract_edges(fetched.filter(F.col("title").isNotNull()),
-                                  self.cfg).repartition(par)
+            edges = extract_edges(
+                fetched.filter(F.col("title").isNotNull())
+                .repartition(par), self.cfg)
             edges.write.mode("overwrite").parquet(self._paths("edges", rnd))
             edges = self.spark.read.parquet(self._paths("edges", rnd))
+            tick("edges")
 
-            # candidate admission for the NEXT frontier (BFS depth cap)
-            cand = (edges.join(batch.select(F.col("url").alias("parent_url"),
-                                            F.col("depth")), "parent_url")
+            # candidate admission for the NEXT frontier (BFS depth
+            # cap). Parent depth rides along on the edge rows, so no
+            # join back to the batch is needed.
+            cand = (edges
                     .select(F.col("child_url").alias("url"),
                             (F.col("depth") + 1).alias("depth"))
                     .filter(F.col("depth") <= self.cfg.max_depth)
                     .groupBy("url").agg(F.min("depth").alias("depth")))
             cand = admit(cand, "url", self.robots, self.allowed_hosts, self.cfg)
-            # re-read from checkpoint: truncates lineage across rounds.
-            # No distinct: rounds fetch disjoint url sets by
-            # construction (candidates are anti-joined every round).
-            all_fetched = (self.spark.read.parquet(self._paths("fetched"))
-                           .select("url"))
+            # THE J1 anti-join: exclude everything already attempted OR
+            # currently deferred. The union of frontier rounds 0..rnd
+            # is exactly that set (every frontier row is either
+            # attempted in its round or carried forward as deferred),
+            # so ONE partition-discovered read of the frontier dir
+            # replaces both the attempted table and a second
+            # deferred anti-join. Reading from checkpoint also
+            # truncates lineage across rounds.
+            all_seen = (self.spark.read.parquet(self._paths("frontier"))
+                        .select("url"))
             cand = cand.select("url", "depth", "host")
             if self.use_bloom:
-                # J1 at scale: bloom pre-filter kills the bulk of
-                # already-fetched candidates before the exact anti-join
+                # at 10^10 scale: bloom pre-filter kills the bulk of
+                # already-seen candidates before the exact anti-join
                 from ..operators.bloom import (build_bloom,
                                                seen_anti_join_with_bloom)
 
-                seen_h = all_fetched.withColumn("url_hash",
-                                                url_hash(F.col("url")))
+                seen_h = all_seen.withColumn("url_hash",
+                                             url_hash(F.col("url")))
                 new_cand = seen_anti_join_with_bloom(
                     cand.withColumn("url_hash", url_hash(F.col("url"))),
                     seen_h, build_bloom(seen_h),
                     confirm_col="url").drop("url_hash")
             else:
-                new_cand = cand.join(all_fetched, "url", "left_anti")
+                new_cand = cand.join(all_seen, "url", "left_anti")
             new_frontier = (
-                deferred.unionByName(
-                    new_cand.join(deferred.select("url"), "url", "left_anti"))
+                deferred.unionByName(new_cand)
                 .groupBy("url").agg(F.min("depth").alias("depth"),
                                     F.first("host").alias("host")))
             new_frontier.write.mode("overwrite").parquet(
                 self._paths("frontier", rnd + 1))
-            # per-round metrics + per-partition lineage (ONE job: the
-            # per-partition counts sum to the edge total)
-            part_counts = (edges.groupBy(F.spark_partition_id().alias("pid"))
-                           .count().collect())
-            n_edges = sum(int(r["count"]) for r in part_counts)
+            tick("admit")
+            # per-round metrics + per-partition lineage straight from
+            # the parquet footers (no Spark job; one footer per
+            # written partition, counts sum to the edge total)
+            part_counts = self._footer_rows(self._paths("edges", rnd))
+            n_edges = sum(part_counts.values())
+            tick("lineage")
             metrics = dict(round=rnd, scheduled=n_batch, fetched=n_batch,
                            edges=n_edges,
                            wall_sec=round(time.time() - t_round, 2),
-                           partitions=[[int(r["pid"]), int(r["count"])]
-                                       for r in part_counts])
+                           partitions=[[i, int(n)] for i, n in
+                                       enumerate(part_counts.values())],
+                           steps=steps)
             with open(os.path.join(self.ckpt, "metrics.jsonl"), "a") as f:
                 f.write(json.dumps(metrics) + "\n")
             if self.enforce_politeness:

@@ -32,13 +32,28 @@ def get_spark(app: str = "crawler_spark", cores: int | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing is byte-targeted, but this engine's shuffles
+        # are byte-light and compute-heavy (url regex/canonicalize on
+        # dictionary-compressed strings): the 1 MB default floor let
+        # AQE squash post-shuffle stages to ~6 tasks on a 32-core
+        # executor. A 64 KB floor keeps parallelism-first sizing in
+        # charge (≈ one partition per core)
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                str(64 * 1024))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
-        # smaller input splits: scan parallelism should come from the
-        # data, not from how many files the generator happened to write
-        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # small input splits: scan parallelism must come from the data,
+        # not from how many files the writer happened to produce. The
+        # engine's hot stages (explode+canonicalize over links arrays)
+        # read snappy parquet that decompresses ~5-10x, so 32 MB splits
+        # starve a 32-thread executor (measured: the round-6 edge
+        # extraction ran on ~2 tasks and took 35 s at BOTH local[8]
+        # and local[32]); 4 MB splits + 1 MB open cost let every scan
+        # fan out to the full core count
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         # shuffle/broadcast scratch on tmpfs: the sandbox's /tmp is a
         # virtual disk and shuffle-heavy stages serialize on its IO
         # regardless of cores (measured; on a real cluster this is
@@ -46,7 +61,16 @@ def get_spark(app: str = "crawler_spark", cores: int | None = None,
         .config("spark.local.dir",
                 os.environ.get("SPARK_GRAFT_LOCAL_DIR",
                                "/dev/shm/spark-local"))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # pin the heap: with a floating -Xms, every full GC uncommits
+        # heap pages and the next allocation burst re-faults them
+        # across all task threads — measured as ~26 of 32 CPUs in
+        # KERNEL time (page alloc/zero + mmap_lock) for 70+ s while
+        # user CPU sat near zero. Xms=Xmx + AlwaysPreTouch faults the
+        # heap exactly once at startup and removes the storm.
+        .config("spark.driver.extraJavaOptions",
+                "-Xms" + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+                + " -XX:+AlwaysPreTouch")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
