@@ -35,6 +35,7 @@ from crawler_spark.operators.images import decode_and_phash, phash_dedup
 from crawler_spark.operators.multimodal import (audio_features, caption_stats,
                                                 frame_sample, thumbnail)
 from crawler_spark.operators.similarity import (ann_topk, cosine_pairs,
+                                                ivf_topk,
                                                 lsh_bucketed_neighbors)
 from crawler_spark.operators.textstats import (doc_fingerprint, lang_id,
                                                quality_features,
@@ -560,6 +561,18 @@ def q_lsh_ann(spark, sf_dir):
                     "cosine"))
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF approximate top-k: deterministic coarse quantizer (hashed
+    seed sample + distributed Lloyd iterations), inverted lists keyed
+    by centroid, nprobe-bucket search. No SQL oracle (hash-seeded
+    centroids); recall + determinism pinned in
+    tests/test_dedup_text.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (ivf_topk(emb, k=5, n_centroids=16, nprobe=4)
+            .select("qid", "nid", F.col("rank").cast("long").alias("rank"),
+                    "cosine"))
+
+
 # ---------------------------------------------------------------------------
 # multimodal (image+caption fixtures; Arrow-batched pixel stages)
 # ---------------------------------------------------------------------------
@@ -682,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": q_cosine_pairs,
         "ann_topk": q_ann_topk,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         # multimodal (image+caption fixtures)
         "caption_stats": q_caption_stats,
         "image_decode": q_image_decode,
@@ -1086,7 +1100,8 @@ SELECT image_id,
        round(octet_length(bytes) / (w * h), 6) AS bytes_per_pixel
 FROM read_parquet('{_IMG_FIXTURES}')
 """,
-        # minhash_lsh / simhash_pairs / winnow / lsh_ann / image_* :
+        # minhash_lsh / simhash_pairs / winnow / lsh_ann / ivf_ann /
+        # image_* :
         # hash-seeded or pixel-level ops DuckDB can't replicate —
         # rows-only checks; semantics pinned by pytest oracles instead
         # (tests/test_dedup_text.py, tests/test_images.py).

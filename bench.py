@@ -39,9 +39,12 @@ HEADLINE = [
 # 300k keeps the per-round bench under ~5 min wall; scaling evidence
 # (tools/bench_scaling.py) uses 1M+ via SPARK_GRAFT_BENCH_PAGES
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "300000"))
+# 1024 seeds: early BFS rounds carry real work instead of being pure
+# per-round overhead (64 seeds left rounds 0-4 trivially small)
+BENCH_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "1024"))
 BENCH_WEB_DIR = os.environ.get(
     "SPARK_GRAFT_BENCH_WEB",
-    f"/tmp/crawler_spark_bench/web-{BENCH_PAGES}")
+    f"/tmp/crawler_spark_bench/web-{BENCH_PAGES}-s{BENCH_SEEDS}")
 
 
 def ensure_bench_web() -> str:
@@ -54,7 +57,7 @@ def ensure_bench_web() -> str:
 
         print(f"# generating bench web ({BENCH_PAGES} pages)…",
               file=sys.stderr)
-        print(f"# {generate_bench_web(BENCH_WEB_DIR, BENCH_PAGES)}",
+        print(f"# {generate_bench_web(BENCH_WEB_DIR, BENCH_PAGES, n_seeds=BENCH_SEEDS)}",
               file=sys.stderr)
     return BENCH_WEB_DIR
 
@@ -80,7 +83,12 @@ def run_frontier_bench(spark, max_depth: int = 8) -> dict:
                if os.path.isdir("/dev/shm") else "/tmp/crawler_spark_bench")
     ck = fresh_ckpt(os.path.join(ck_base, "ckpt"))
     t0 = time.time()
-    eng = FrontierEngine(spark, cfg, web, ck)
+    # bucketed-web cache sits NEXT TO the generated web (persistent
+    # across runs and shared by both scaling-bench children); the
+    # one-time bucketing cost is inside the first run's timing
+    eng = FrontierEngine(spark, cfg, web, ck,
+                         bucketed_web_dir=web.rstrip("/") + "-bucketed64",
+                         web_buckets=64)
     eng.explore()
     t_explore = time.time() - t0
     t1 = time.time()

@@ -155,7 +155,10 @@ class FrontierEngine:
                  fixture_dir: str, ckpt_dir: str,
                  enforce_politeness: bool = False,
                  host_salts: int = 8,
-                 use_bloom: bool = False):
+                 use_bloom: bool = False,
+                 bucketed_web_dir: str | None = None,
+                 web_buckets: int = 64,
+                 bucket_join_min: int = 250_000):
         self.spark = spark
         self.cfg = cfg
         self.fixture_dir = fixture_dir
@@ -167,6 +170,36 @@ class FrontierEngine:
         self.robots = spark.read.parquet(f"{fixture_dir}/robots.parquet")
         self.seeds_raw = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
         self.allowed_hosts = self._seed_hosts() if cfg.restrict_domains else []
+        self.bucket_join_min = bucket_join_min
+        self.web_table = (self._ensure_bucketed_web(bucketed_web_dir,
+                                                    web_buckets)
+                          if bucketed_web_dir else None)
+
+    def _ensure_bucketed_web(self, path: str, buckets: int) -> DataFrame:
+        """Bucket+sort the static web by url ONCE (hash-bucketed table,
+        the Iceberg `bucket(N, url)` partition-transform analog). The
+        per-round fetch join then plans as a sort-merge join where only
+        the frontier side shuffles: no driver-side broadcast build —
+        which is serial and was the round bottleneck at multi-million-
+        row batches — and no re-sort of the web (buckets are written
+        sorted). One-time cost, amortized over every round and every
+        run sharing the cache dir."""
+        name = "web_bucketed"
+        if self.spark.catalog.tableExists(name):
+            return self.spark.table(name)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            (self.web.repartition(buckets, F.col("url"))
+             .write.mode("overwrite")
+             .bucketBy(buckets, "url").sortBy("url")
+             .option("path", path)
+             .saveAsTable(name))
+        else:  # data from a previous session: register it
+            ddl = self.web.schema.toDDL()
+            self.spark.sql(
+                f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY (url) SORTED BY (url) "
+                f"INTO {buckets} BUCKETS LOCATION '{path}'")
+        return self.spark.table(name)
 
     # ---- seeds ----
 
@@ -306,15 +339,34 @@ class FrontierEngine:
             web_slim = self.web.select("url", "status_code", "title",
                                        "links", "images")
             bsel = batch.select("url", "depth", "host")
-            # broadcast as long as the batch fits the driver: the
-            # plain path shuffles the whole web (links arrays — the
-            # heaviest rows in the system) and its cost was both large
-            # and erratic; a 1.5M-url batch broadcasts at ~150 MB.
+            # join strategy by batch size: small rounds broadcast the
+            # batch over the web scan (driver builds a small hash
+            # relation); big rounds against a bucketed web use a
+            # sort-merge join where ONLY the frontier side shuffles —
+            # the driver-side broadcast build is serial and became the
+            # round bottleneck at multi-million-row batches (measured:
+            # fetch step 14.5s at local[8] vs 7.8s at local[32] on a
+            # 6M-url round — barely scaling because the build doesn't).
             # No cache on the join output: caching web rows (links
             # arrays) thrashes the unified memory manager at high
-            # thread counts (measured: local[32] rounds 5x slower
-            # than local[8] with the cache).
-            if n_batch <= 1_500_000:
+            # thread counts.
+            if self.web_table is not None and n_batch > self.bucket_join_min:
+                wt = self.web_table.select("url", "status_code", "title",
+                                           "links", "images")
+                fetched = wt.hint("merge").join(bsel, "url", "inner")
+            elif self.web_table is not None and n_batch <= 4096:
+                # tiny round: push the url set into the bucketed scan
+                # as an IN filter — bucket pruning + min/max row-group
+                # stats on the sorted buckets read only the few row
+                # groups containing the batch, instead of scanning the
+                # whole web to fetch a handful of pages
+                urls = [r["url"] for r in bsel.select("url").collect()]
+                wt = (self.web_table
+                      .select("url", "status_code", "title", "links",
+                              "images")
+                      .filter(F.col("url").isin(urls)))
+                fetched = wt.join(F.broadcast(bsel), "url")
+            elif n_batch <= 1_500_000:
                 fetched = web_slim.join(F.broadcast(bsel), "url")
             else:
                 fetched = bsel.join(web_slim, "url", "inner")
@@ -455,31 +507,21 @@ class FrontierEngine:
 
         self.timings = getattr(self, "timings", {})
         t0 = time.time()
-        # all-numeric skeleton: host identity as a 64-bit hash so the
-        # Arrow collect carries zero Python string objects (strings
-        # made this collect the dominant resolve cost). Politeness
-        # caps are looked up driver-side through the bit-exact
-        # pure-Python XXH64 of the robots hosts — no join before the
-        # collect (a broadcast join ahead of toPandas measured 7x
-        # slower than the plain projection).
-        from ..core.xxhash64 import spark_xxhash64_str
-
+        # all-numeric skeleton (20 bytes/edge): host identity and
+        # politeness are NOT shipped — only the visit ORDER is
+        # inherently sequential; the per-host batch schedule is a
+        # host-partitioned (distributed) window afterwards. Strings
+        # stay JVM-side (string hashes made this collect the dominant
+        # resolve cost).
         skel = (edges.select(
             url_hash(F.col("parent_url")).alias("p"),
             F.col("link_index").alias("i"),
-            url_hash(F.col("child_url")).alias("c"),
-            F.xxhash64(url_host(F.col("child_url"))).alias("ch"))
+            url_hash(F.col("child_url")).alias("c"))
             .toPandas())
         self.timings["skeleton_collect"] = round(time.time() - t0, 2)
         t0 = time.time()
         seed_rows = seeds.select(
-            url_hash(F.col("url")).alias("h"), "prio",
-            F.xxhash64(url_host(F.col("url"))).alias("hostk")).collect()
-        cap_by_hostk = {
-            spark_xxhash64_str(r["host"]):
-                self.cfg.host_cap(r["crawl_delay_ms"] or 0)
-            for r in self.robots.select("host", "crawl_delay_ms").collect()}
-        default_cap = self.cfg.host_cap(0)
+            url_hash(F.col("url")).alias("h"), "prio").collect()
         # group edges by parent via sort + slice (numpy, no dicts)
         import numpy as np
 
@@ -488,7 +530,6 @@ class FrontierEngine:
         p_sorted = p[order]
         i_sorted = skel["i"].to_numpy()[order]
         c_sorted = skel["c"].to_numpy()[order]
-        ch_sorted = skel["ch"].to_numpy()[order]
 
         def children_of(ph: int):
             lo = np.searchsorted(p_sorted, ph, side="left")
@@ -496,38 +537,31 @@ class FrontierEngine:
             # DOM order: link_index ascending
             seg = slice(lo, hi)
             idx = np.argsort(i_sorted[seg], kind="stable")
-            return (i_sorted[seg][idx], c_sorted[seg][idx],
-                    ch_sorted[seg][idx])
+            return (i_sorted[seg][idx], c_sorted[seg][idx])
 
         # The sweep pops claims in EXACT visit order, so the global
-        # visit rank AND the per-host politeness batch schedule
-        # (k-th visit of host h → batch k // cap(h), oracle
-        # assign_batches semantics) fall out for free — no global or
-        # per-host window over the full visit set afterwards (those
-        # single-partition sorts were the scaling bottleneck).
-        heap = [(r["prio"], 0, int(r["h"]), None, -1, int(r["hostk"]))
+        # visit rank falls out for free — no single-partition sort
+        # over the full visit set afterwards (that global window was
+        # the original scaling bottleneck).
+        heap = [(r["prio"], 0, int(r["h"]), None, -1)
                 for r in seed_rows]
         heapq.heapify(heap)
         claimed: dict[int, tuple] = {}
-        host_counts: dict[int, int] = {}
         maxd = self.cfg.max_depth
         rank = 0
         while heap:
-            prio, depth, h, parent, li, hostk = heapq.heappop(heap)
+            prio, depth, h, parent, li = heapq.heappop(heap)
             if h in claimed:
                 continue
-            k = host_counts.get(hostk, 0)
-            host_counts[hostk] = k + 1
-            claimed[h] = (prio, depth, parent, li, rank,
-                          k // cap_by_hostk.get(hostk, default_cap))
+            claimed[h] = (prio, depth, parent, li, rank)
             rank += 1
             if depth < maxd:
-                for i, ch, chh in zip(*children_of(h)):
+                for i, ch in zip(*children_of(h)):
                     chi = int(ch)
                     if chi not in claimed:
                         heapq.heappush(
                             heap, (prio + _hex_prio_py(int(i)),
-                                   depth + 1, chi, h, int(i), int(chh)))
+                                   depth + 1, chi, h, int(i)))
         self.timings["heap_sweep"] = round(time.time() - t0, 2)
         t0 = time.time()
         import pandas as pd
@@ -539,13 +573,12 @@ class FrontierEngine:
              "parent_h": pd.array([v[2] for v in claimed.values()],
                                   dtype="Int64"),  # nullable (seeds)
              "link_index": [v[3] for v in claimed.values()],
-             "visit_rank": [v[4] for v in claimed.values()],
-             "batch_id": [v[5] for v in claimed.values()]})
+             "visit_rank": [v[4] for v in claimed.values()]})
         claims_df = self.spark.createDataFrame(
             pdf, "h long, prio string, depth int, parent_h long, "
-                 "link_index int, visit_rank long, batch_id long")
+                 "link_index int, visit_rank long")
         # map hashes back to url strings: semi-join the edge children
-        # against the claimed hashes FIRST (shrinks 9M edge rows to
+        # against the claimed hashes FIRST (shrinks the edge rows to
         # the ~claim count before the dedup shuffle)
         claimed_h = claims_df.select("h")
         urls = (edges.select(F.col("child_url").alias("url"))
@@ -559,7 +592,7 @@ class FrontierEngine:
                                  F.col("url").alias("parent_url")),
                      "parent_h", "left")
                .select("url", "prio", "depth", "parent_url", "link_index",
-                       "visit_rank", "batch_id"))
+                       "visit_rank"))
         out = out.localCheckpoint()
         self.timings["claims_rejoin"] = round(time.time() - t0, 2)
         return out
@@ -613,9 +646,10 @@ class FrontierEngine:
         return claims
 
     def _finalize_visits(self, claims: DataFrame) -> DataFrame:
-        """Attach statuses (+ visit rank / politeness batch schedule
-        when the resolver didn't already provide them — the skeleton
-        sweep emits both for free, in exact visit order). Claims of
+        """Attach statuses, the global visit rank (from the skeleton
+        sweep when available — exact visit order for free — else a
+        window over prio), and the per-host politeness batch schedule
+        (always a DISTRIBUTED host-partitioned window). Claims of
         never-materialized URLs are 404s (dead links — fetched as
         absent)."""
         cfg = self.cfg
@@ -626,18 +660,20 @@ class FrontierEngine:
                               F.coalesce("status_code", F.lit(404)))
                   .withColumn("host", url_host(F.col("url")))
                   .withColumn("url_hash", url_hash(F.col("url"))))
-        if "visit_rank" in claims.columns:
-            return visits.select("visit_rank", "url", "url_hash", "host",
-                                 "depth", "parent_url", "link_index",
-                                 "prio", "status_code", "batch_id")
-        # fixpoint path: rank + schedule via windows. Scale note: at
-        # 10^10 rows replace with repartitionByRange(prio) + per-
-        # partition rank + offset join; window-over-all is fine at
-        # test scale and keeps the plan obvious.
-        visits = visits.withColumn(
-            "visit_rank",
-            (F.row_number().over(Window.orderBy("prio")) - 1).cast("long"))
-        # politeness schedule: k-th visit of host h → batch k//cap(h)
+        if "visit_rank" not in claims.columns:
+            # fixpoint path: global rank via a window. Scale note: at
+            # 10^10 rows replace with repartitionByRange(prio) + per-
+            # partition rank + offset join; window-over-all is fine at
+            # test scale and keeps the plan obvious. (The skeleton
+            # sweep emits ranks directly, in exact visit order.)
+            visits = visits.withColumn(
+                "visit_rank",
+                (F.row_number().over(Window.orderBy("prio")) - 1)
+                .cast("long"))
+        # politeness schedule: k-th visit of host h → batch k//cap(h).
+        # DISTRIBUTED: the window partitions by host (ordering within
+        # a host by prio ≡ visit order), so the only serial artifact
+        # of the exact-ordering contract stays the sweep itself.
         cap_col = F.coalesce(
             F.when(F.col("crawl_delay_ms") > 0,
                    F.greatest(F.lit(1), F.least(

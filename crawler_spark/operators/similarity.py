@@ -179,6 +179,114 @@ def lsh_bucket(emb: DataFrame, num_planes: int = 8,
     return out.withColumn("bucket", bucket)
 
 
+def _assign_clusters(vecs: DataFrame, centroids, id_col: str = "id",
+                     vec_col: str = "vec", out_col: str = "cluster",
+                     nprobe: int = 1) -> DataFrame:
+    """Append the index/indices of the nearest centroid(s) by cosine
+    (BLAS argmax inside Arrow batches against the broadcast centroid
+    matrix). nprobe>1 emits one row per probed centroid."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+
+    spark = vecs.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+    schema = StructType([StructField("id", LongType()),
+                         StructField("vec", ArrayType(DoubleType())),
+                         StructField(out_col, IntegerType())])
+
+    def block(it):
+        cm = bc.value  # unit rows [C, d]
+        for pdf in it:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["vec"].to_numpy())
+            qn = q / np.sqrt((q * q).sum(axis=1, keepdims=True))
+            sims = qn @ cm.T
+            top = np.argsort(-sims, kind="stable", axis=1)[:, :nprobe]
+            n = len(pdf)
+            rep = np.repeat(np.arange(n), nprobe)
+            yield pd.DataFrame({
+                "id": pdf["id"].to_numpy()[rep],
+                "vec": pdf["vec"].to_numpy()[rep],
+                out_col: top.reshape(-1).astype("int32")})
+
+    return vecs.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).alias("vec")).mapInPandas(block, schema)
+
+
+def ivf_centroids(emb: DataFrame, n_centroids: int = 16, iters: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Deterministic IVF coarse quantizer: seed centroids are the
+    n_centroids corpus vectors with smallest xxhash64(vec_id) (a
+    reproducible pseudo-random sample — no RNG), refined by `iters`
+    Lloyd iterations computed DISTRIBUTED: assignment is a broadcast
+    BLAS argmax, the mean reduction is posexplode → groupBy(cluster,
+    dim) avg — one shuffle per iteration keyed by cluster, never a
+    driver-side pass over the corpus. Returns a unit-row numpy
+    matrix [n_centroids, d]."""
+    import numpy as np
+
+    seeds = (emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"))
+        .withColumn("hk", F.xxhash64(F.col("id").cast("string")))
+        .orderBy("hk").limit(n_centroids).toPandas())
+    cm = np.stack(seeds["vec"].to_numpy())
+    cm = cm / np.sqrt((cm * cm).sum(axis=1, keepdims=True))
+    src = emb.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("vec"))
+    for _ in range(iters):
+        assigned = _assign_clusters(src, cm)
+        means = (assigned
+                 .select("cluster", F.posexplode("vec").alias("dim", "x"))
+                 .groupBy("cluster", "dim").agg(F.avg("x").alias("m"))
+                 .groupBy("cluster")
+                 .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
+                      .alias("s"))
+                 .select("cluster",
+                         F.transform("s", lambda e: e["m"]).alias("mean"))
+                 .toPandas())
+        for _, row in means.iterrows():
+            v = np.asarray(row["mean"])
+            n = np.sqrt((v * v).sum())
+            if n > 0:
+                cm[int(row["cluster"])] = v / n
+    return cm
+
+
+def ivf_topk(emb: DataFrame, k: int = 5, n_centroids: int = 16,
+             nprobe: int = 4, iters: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: corpus vectors are inverted-listed under
+    their nearest coarse centroid; each query probes its `nprobe`
+    nearest centroids and ranks ONLY those lists by exact cosine.
+    The candidate join shuffles on the cluster id — the classic IVF
+    partitioning at 10^9+ vectors (each inverted list is a partition;
+    a probe touches nprobe/n_centroids of the corpus). Deterministic
+    end-to-end; recall vs the exact ann_topk is pinned in
+    tests/test_dedup_text.py."""
+    cm = ivf_centroids(emb, n_centroids, iters, id_col, vec_col)
+    src = emb.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("vec"))
+    corpus = (_assign_clusters(src, cm)
+              .select(F.col("id").alias("nid"),
+                      F.col("vec").alias("vec_b"), "cluster"))
+    probes = (_assign_clusters(src, cm, nprobe=nprobe)
+              .select(F.col("id").alias("qid"),
+                      F.col("vec").alias("vec_a"), "cluster"))
+    scored = (probes.join(corpus, "cluster")
+              .filter(F.col("qid") != F.col("nid"))
+              .transform(with_cosine)
+              .withColumn("cos_r", F.round("cosine", 4)))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_r").desc(),
+                                          F.col("nid").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", "rank", F.col("cos_r").alias("cosine")))
+
+
 def lsh_bucketed_neighbors(emb: DataFrame, k: int = 5,
                            num_planes: int = 8,
                            id_col: str = "vec_id",
@@ -187,7 +295,7 @@ def lsh_bucketed_neighbors(emb: DataFrame, k: int = 5,
     """Approximate top-k neighbors: candidates restricted to the same
     LSH bucket, ranked by exact cosine. The 100TB-scale ANN path —
     the pairwise join shuffles on `bucket`, never all-pairs. Recall
-    vs `ann_topk` is measured in tests (tests/test_similarity.py)."""
+    vs `ann_topk` is measured in tests (tests/test_dedup_text.py)."""
     bucketed = lsh_bucket(emb, num_planes, vec_col, dim).select(
         F.col(id_col).alias("id"), "bucket",
         F.col(vec_col).cast("array<double>").alias("vec"))

