@@ -522,22 +522,24 @@ class FrontierEngine:
         t0 = time.time()
         seed_rows = seeds.select(
             url_hash(F.col("url")).alias("h"), "prio").collect()
-        # group edges by parent via sort + slice (numpy, no dicts)
+        # group edges by parent via ONE global (p, i) lexsort, so a
+        # parent's children are a contiguous, already-DOM-ordered
+        # slice — no per-claim argsort or fancy-index copies (those
+        # dominated the sweep at 10^8 edges)
         import numpy as np
 
         p = skel["p"].to_numpy()
-        order = np.argsort(p, kind="stable")
+        i_arr = skel["i"].to_numpy()
+        order = np.lexsort((i_arr, p))
         p_sorted = p[order]
-        i_sorted = skel["i"].to_numpy()[order]
+        i_sorted = i_arr[order]
         c_sorted = skel["c"].to_numpy()[order]
 
         def children_of(ph: int):
             lo = np.searchsorted(p_sorted, ph, side="left")
             hi = np.searchsorted(p_sorted, ph, side="right")
-            # DOM order: link_index ascending
             seg = slice(lo, hi)
-            idx = np.argsort(i_sorted[seg], kind="stable")
-            return (i_sorted[seg][idx], c_sorted[seg][idx])
+            return (i_sorted[seg], c_sorted[seg])
 
         # The sweep pops claims in EXACT visit order, so the global
         # visit rank falls out for free — no single-partition sort
@@ -577,11 +579,15 @@ class FrontierEngine:
         claims_df = self.spark.createDataFrame(
             pdf, "h long, prio string, depth int, parent_h long, "
                  "link_index int, visit_rank long")
-        # map hashes back to url strings: semi-join the edge children
-        # against the claimed hashes FIRST (shrinks the edge rows to
-        # the ~claim count before the dedup shuffle)
+        # map hashes back to url strings via the frontier union —
+        # every DFS claim is BFS-admitted, so the union of frontier
+        # rounds (skinny url-only rows, ~visit count) contains every
+        # claimed url; joining the 10x-larger edge set for the same
+        # mapping dominated the rejoin. Semi-join against the claimed
+        # hashes first, then dedup.
         claimed_h = claims_df.select("h")
-        urls = (edges.select(F.col("child_url").alias("url"))
+        urls = (self.spark.read.parquet(self._paths("frontier"))
+                .select("url")
                 .withColumn("h", url_hash(F.col("url")))
                 .join(F.broadcast(claimed_h), "h", "left_semi")
                 .unionByName(seeds.select(

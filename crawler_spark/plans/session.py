@@ -72,6 +72,9 @@ def get_spark(app: str = "crawler_spark", cores: int | None = None,
                 "-Xms" + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
                 + " -XX:+AlwaysPreTouch")
         .config("spark.ui.enabled", "false")
+        # \r-progress bars interleave with tool stdout (check_oracle
+        # lines were swallowed when piped through grep)
+        .config("spark.ui.showConsoleProgress", "false")
         # the resolve skeleton is a deliberate large Arrow collect
         # (~28 B/edge; ~2.2 GB at 80M edges) — the 1g default
         # maxResultSize kills it long before driver memory is at risk

@@ -144,9 +144,15 @@ def generate_bench_web(out_dir: str, n_pages: int = 1_000_000,
         pq.write_table(web, os.path.join(web_dir, f"part-{f:05d}.parquet"),
                        row_group_size=31250)
 
-    # seeds: spread across hosts (includes the mega-host root)
-    seed_pages = [int(order[host_starts[k % n_hosts]])
-                  for k in range(0, n_seeds * 16, 16)]
+    # seeds: spread across hosts (includes the mega-host root), many
+    # distinct pages per host for wide seed frontiers — a web-scale
+    # crawl starts from a large seed list, so the bench's round 0
+    # should carry real work, not 2^6 urls
+    seed_pages = []
+    for k in range(n_seeds):
+        h = k % n_hosts
+        off = (k // n_hosts) % int(host_count[h])
+        seed_pages.append(int(order[host_starts[h] + off]))
     seeds = pa.table({
         "url": pa.array([f"http://h{host_id[p]}.bench.org/p{p}#home"
                          for p in seed_pages]),
