@@ -108,16 +108,23 @@ def q_first_match_scan(spark, sf_dir):
 
 
 def q_crawl_counters(spark, sf_dir):
-    """A1/A2/A3: outcome counters + guarded success_rate."""
+    """A1/A2/A3: outcome counters + guarded success_rate.
+
+    The rate is emitted as integer parts-per-million computed with
+    pure integer arithmetic (1e6·n_success div n_total) — double
+    division + round produced engine-dependent low-bit formatting
+    (the round-1 hash mismatch); integers hash identically
+    everywhere."""
     o = _t(spark, sf_dir, "orders")
     return (o.groupBy("o_orderpriority")
             .agg(F.count("*").alias("n_total"),
                  F.sum(F.when(F.col("o_orderstatus") == "O", 1)
                        .otherwise(0)).alias("n_open"),
-                 F.round(F.lit(100.0)
-                         * F.sum(F.when(F.col("o_orderstatus") == "F", 1)
-                                 .otherwise(0)) / F.count("*"), 6)
-                 .alias("success_rate")))
+                 (F.lit(1000000)
+                  * F.sum(F.when(F.col("o_orderstatus") == "F", 1)
+                          .otherwise(0))).alias("_f"))
+            .select("o_orderpriority", "n_total", "n_open",
+                    F.expr("_f div n_total").alias("success_ppm")))
 
 
 def q_breadcrumb(spark, sf_dir):
@@ -280,10 +287,13 @@ def q_region_rollup(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     j = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
          .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    # cents via floor(x*100 + 0.5): both engines evaluate the same
+    # IEEE-double expression then floor it — no engine-specific
+    # decimal rounding of doubles (the round-1 hash mismatch)
     return (j.groupBy("r_name")
             .agg(F.countDistinct("n_nationkey").alias("n_nations"),
                  F.count("*").alias("n_customers"),
-                 F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+                 F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long"))
                  .alias("total_cents")))
 
 
@@ -802,8 +812,8 @@ SELECT o_custkey, o_orderkey AS first_orderkey FROM (
 SELECT o_orderpriority,
        count(*) AS n_total,
        sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-       round(100.0 * sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
-             / count(*), 6) AS success_rate
+       (1000000 * sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END))
+           // count(*) AS success_ppm
 FROM orders GROUP BY o_orderpriority
 """,
         "breadcrumb": """
@@ -924,7 +934,7 @@ EXCEPT SELECT DISTINCT user_id FROM events
         "region_rollup": """
 SELECT r_name, count(DISTINCT n_nationkey) AS n_nations,
        count(*) AS n_customers,
-       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS total_cents
+       sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS total_cents
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey

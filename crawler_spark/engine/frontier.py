@@ -184,7 +184,13 @@ class FrontierEngine:
         row batches — and no re-sort of the web (buckets are written
         sorted). One-time cost, amortized over every round and every
         run sharing the cache dir."""
-        name = "web_bucketed"
+        # key the catalog name on the bucketed path: two engines in one
+        # session with different fixture dirs must not silently share a
+        # bucketed web (same-name reuse fetched pages from the wrong web)
+        import hashlib
+
+        digest = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:12]
+        name = f"web_bucketed_{digest}"
         if self.spark.catalog.tableExists(name):
             return self.spark.table(name)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -437,8 +443,12 @@ class FrontierEngine:
             # written partition, counts sum to the edge total)
             part_counts = self._footer_rows(self._paths("edges", rnd))
             n_edges = sum(part_counts.values())
+            # actual fetched rows (dead links produce no fetched row
+            # under the inner-join fetch, so fetched < scheduled)
+            n_fetched = sum(
+                self._footer_rows(self._paths("fetched", rnd)).values())
             tick("lineage")
-            metrics = dict(round=rnd, scheduled=n_batch, fetched=n_batch,
+            metrics = dict(round=rnd, scheduled=n_batch, fetched=n_fetched,
                            edges=n_edges,
                            wall_sec=round(time.time() - t_round, 2),
                            partitions=[[i, int(n)] for i, n in
@@ -568,12 +578,19 @@ class FrontierEngine:
         t0 = time.time()
         import pandas as pd
 
+        # parent_h is nullable (seeds have no parent). Keep it a plain
+        # object column of python int/None: session-independent — the
+        # Arrow path infers int64-with-null, and the non-Arrow
+        # createDataFrame fallback accepts None for LongType, whereas
+        # pandas nullable Int64 degraded to float NaN there and the
+        # LongType verifier rejected it (the round-1 driver-contract
+        # crash).
         pdf = pd.DataFrame(
             {"h": list(claimed.keys()),
              "prio": [v[0] for v in claimed.values()],
              "depth": [v[1] for v in claimed.values()],
-             "parent_h": pd.array([v[2] for v in claimed.values()],
-                                  dtype="Int64"),  # nullable (seeds)
+             "parent_h": pd.Series([v[2] for v in claimed.values()],
+                                   dtype=object),
              "link_index": [v[3] for v in claimed.values()],
              "visit_rank": [v[4] for v in claimed.values()]})
         claims_df = self.spark.createDataFrame(
