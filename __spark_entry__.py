@@ -475,7 +475,7 @@ def q_frontier_crawl(spark, sf_dir):
     ck = fresh_ckpt(os.path.join(tempfile.gettempdir(),
                                  "crawler_spark_contract_crawl"))
     eng = FrontierEngine(spark, CrawlConfig(max_depth=3, rate_limit=100),
-                         fixture, ck)
+                         fixture, ck, enforce_politeness=True)
     visits = eng.run()
     return visits.select("visit_rank", "url", "depth", "status_code",
                          "batch_id")

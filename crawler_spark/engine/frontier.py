@@ -360,19 +360,18 @@ class FrontierEngine:
                 wt = self.web_table.select("url", "status_code", "title",
                                            "links", "images")
                 fetched = wt.hint("merge").join(bsel, "url", "inner")
-            elif self.web_table is not None and n_batch <= 4096:
-                # tiny round: push the url set into the bucketed scan
-                # as an IN filter — bucket pruning + min/max row-group
-                # stats on the sorted buckets read only the few row
-                # groups containing the batch, instead of scanning the
-                # whole web to fetch a handful of pages
-                urls = [r["url"] for r in bsel.select("url").collect()]
-                wt = (self.web_table
-                      .select("url", "status_code", "title", "links",
-                              "images")
-                      .filter(F.col("url").isin(urls)))
-                fetched = wt.join(F.broadcast(bsel), "url")
             elif n_batch <= 1_500_000:
+                # small + tail rounds: broadcast the batch over the
+                # plain web scan. One plan SHAPE for every such round,
+                # so whole-stage codegen compiles once and is reused —
+                # a per-round IN-pushdown variant was tried and lost:
+                # each round's distinct url list forced a fresh InSet
+                # codegen + the bucketed-scan fixed cost (measured 6 s
+                # for a 1.7k-url tail round vs 0.7 s for this plan on a
+                # 90k round). On a real cluster the fetch is an HTTP
+                # mapInPandas over the batch (O(batch), no web scan) —
+                # the scan here is the sandbox stand-in's cost, and it
+                # is fully parallel.
                 fetched = web_slim.join(F.broadcast(bsel), "url")
             else:
                 fetched = bsel.join(web_slim, "url", "inner")
@@ -388,24 +387,39 @@ class FrontierEngine:
             # explicit repartition of the page rows guarantees the
             # heavy work fans out to every core no matter what split
             # count the scan produced (repartitioning the *output*
-            # instead left the canonicalization on 1-2 tasks)
+            # instead left the canonicalization on 1-2 tasks).
+            # Admission (scheme/domain/robots on the child url) is
+            # applied HERE, fused into the same stage (broadcast
+            # robots join + native predicates, no shuffle): the
+            # checkpointed edge set is then admissible-by-
+            # construction, so neither the candidate step below nor
+            # the resolve phase re-scans 10^10 edge strings through
+            # the admission regexes a second time.
             par = self.spark.sparkContext.defaultParallelism
             edges = extract_edges(
                 fetched.filter(F.col("title").isNotNull())
                 .repartition(par), self.cfg)
+            edges = (admit(edges.withColumnRenamed("child_url", "url"),
+                           "url", self.robots, self.allowed_hosts,
+                           self.cfg)
+                     .select("parent_url", "depth", "link_index",
+                             F.col("url").alias("child_url"),
+                             F.col("host").alias("child_host")))
             edges.write.mode("overwrite").parquet(self._paths("edges", rnd))
             edges = self.spark.read.parquet(self._paths("edges", rnd))
             tick("edges")
 
             # candidate admission for the NEXT frontier (BFS depth
             # cap). Parent depth rides along on the edge rows, so no
-            # join back to the batch is needed.
+            # join back to the batch is needed; edges are already
+            # admitted, so this is a pure groupBy.
             cand = (edges
                     .select(F.col("child_url").alias("url"),
-                            (F.col("depth") + 1).alias("depth"))
+                            (F.col("depth") + 1).alias("depth"),
+                            F.col("child_host").alias("host"))
                     .filter(F.col("depth") <= self.cfg.max_depth)
-                    .groupBy("url").agg(F.min("depth").alias("depth")))
-            cand = admit(cand, "url", self.robots, self.allowed_hosts, self.cfg)
+                    .groupBy("url").agg(F.min("depth").alias("depth"),
+                                        F.first("host").alias("host")))
             # THE J1 anti-join: exclude everything already attempted OR
             # currently deferred. The union of frontier rounds 0..rnd
             # is exactly that set (every frontier row is either
@@ -417,7 +431,49 @@ class FrontierEngine:
             all_seen = (self.spark.read.parquet(self._paths("frontier"))
                         .select("url"))
             cand = cand.select("url", "depth", "host")
-            if self.use_bloom:
+            if self.enforce_politeness:
+                # Depth-correcting admit. Under politeness a URL can be
+                # FIRST admitted at a non-minimal depth: its shallow
+                # parent sat deferred while a deeper path found it.
+                # A plain anti-join freezes that inflated depth, and the
+                # max_depth cap then silently truncates the URL's
+                # subtree (descendants the DFS resolve legally visits
+                # are never fetched). Fix: keep a candidate iff it
+                # strictly improves on the best seen depth, re-fetching
+                # the page so expansion resumes from the shallower
+                # depth. Depths are non-negative ints and strictly
+                # decrease per re-admit ⇒ terminates. Without
+                # politeness, BFS admits every URL at minimal depth on
+                # first sight, so the cheaper plain anti-join below
+                # stays exact. The optional bloom pre-filter composes:
+                # certain-new candidates skip the exact join; only
+                # maybe-seen ones pay the depth check.
+                seen_best = (self.spark.read.parquet(self._paths("frontier"))
+                             .groupBy("url")
+                             .agg(F.min("depth").alias("seen_depth")))
+                if self.use_bloom:
+                    from ..operators.bloom import (build_bloom,
+                                                   bloom_maybe_seen)
+
+                    seen_h = all_seen.withColumn("url_hash",
+                                                 url_hash(F.col("url")))
+                    flagged = bloom_maybe_seen(
+                        cand.withColumn("url_hash", url_hash(F.col("url"))),
+                        build_bloom(seen_h))
+                    certain_new = (flagged.filter(~F.col("maybe_seen"))
+                                   .drop("maybe_seen", "bucket_id",
+                                         "url_hash"))
+                    maybe = (flagged.filter(F.col("maybe_seen"))
+                             .drop("maybe_seen", "bucket_id", "url_hash"))
+                else:
+                    certain_new, maybe = None, cand
+                improved = (maybe.join(seen_best, "url", "left")
+                            .filter(F.col("seen_depth").isNull()
+                                    | (F.col("depth") < F.col("seen_depth")))
+                            .drop("seen_depth"))
+                new_cand = (improved if certain_new is None
+                            else certain_new.unionByName(improved))
+            elif self.use_bloom:
                 # at 10^10 scale: bloom pre-filter kills the bulk of
                 # already-seen candidates before the exact anti-join
                 from ..operators.bloom import (build_bloom,
@@ -490,31 +546,34 @@ class FrontierEngine:
         measured 155 rounds on a 50k-page random web). Kept for
         cross-checking (tests assert both agree) and as the basis of
         the certified-finalized-prefix variant."""
-        cfg = self.cfg
-        edges_raw = (self.spark.read.parquet(self._paths("edges"))
-                     .select("parent_url", "link_index", "child_url"))
-        # admission is claim-side (per candidate call's target URL) —
-        # applied DIRECTLY on the edge rows: the robots join is a
-        # broadcast map-side hash join, so no shuffle ever touches the
-        # edge set (a distinct-then-join-back formulation shuffled
-        # 9M url strings twice and dominated resolve)
-        edges = (admit(edges_raw.withColumnRenamed("child_url", "url"),
-                       "url", self.robots, self.allowed_hosts, cfg)
-                 .withColumnRenamed("url", "child_url")
-                 .select("parent_url", "link_index", "child_url")
-                 .localCheckpoint())
+        # edges are admissible-by-construction (admission is fused
+        # into the explore-side edge write — scheme/domain/robots run
+        # exactly once per edge, there), so resolve needs no second
+        # pass through the admission regexes.
+        edges = (self.spark.read.parquet(self._paths("edges"))
+                 .select("parent_url", "link_index", "child_url"))
         seeds = self.seed_claims().localCheckpoint()
         if strategy == "skeleton":
             claims = self._resolve_skeleton(edges, seeds)
             return self._finalize_visits(claims)
-        claims = self._resolve_fixpoint(edges, seeds, max_iters)
+        claims = self._resolve_fixpoint(edges.localCheckpoint(), seeds,
+                                        max_iters)
         return self._finalize_visits(claims)
 
     def _resolve_skeleton(self, edges: DataFrame,
                           seeds: DataFrame) -> DataFrame:
-        """Heap-sweep exact claiming over the int64-encoded skeleton."""
-        import heapq
+        """Exact DFS claiming over the int64-encoded skeleton.
 
+        The lexicographic-heap formulation of round 1 is equivalent to
+        plain DFS preorder (the priority vectors have the prefix
+        property, so heap order ≡ visit stack order) — but the heap
+        built an O(depth)-char priority STRING per edge push, which
+        dominated the sweep. This version sweeps with an integer
+        explicit-stack DFS (no strings, no heap, no per-edge
+        allocation beyond one tuple), then reconstructs the priority
+        vectors with ONE string concat per CLAIM (parents always claim
+        before children in preorder, so a single forward pass over the
+        rank-ordered claims suffices)."""
         self.timings = getattr(self, "timings", {})
         t0 = time.time()
         # all-numeric skeleton (20 bytes/edge): host identity and
@@ -523,79 +582,101 @@ class FrontierEngine:
         # host-partitioned (distributed) window afterwards. Strings
         # stay JVM-side (string hashes made this collect the dominant
         # resolve cost).
+        # the (p, i) sort runs DISTRIBUTED (range-partitioned sort;
+        # toPandas concatenates partitions in order, so the collected
+        # frame arrives globally sorted) — the driver's only remaining
+        # skeleton work is a linear run-length scan for the CSR bounds
         skel = (edges.select(
             url_hash(F.col("parent_url")).alias("p"),
             F.col("link_index").alias("i"),
             url_hash(F.col("child_url")).alias("c"))
+            .orderBy("p", "i")
             .toPandas())
         self.timings["skeleton_collect"] = round(time.time() - t0, 2)
         t0 = time.time()
-        seed_rows = seeds.select(
-            url_hash(F.col("url")).alias("h"), "prio").collect()
-        # group edges by parent via ONE global (p, i) lexsort, so a
-        # parent's children are a contiguous, already-DOM-ordered
-        # slice — no per-claim argsort or fancy-index copies (those
-        # dominated the sweep at 10^8 edges)
+        # seeds sorted by prio string ≡ seed_rank order: the oracle
+        # crawls each seed's subtree to completion before the next
+        seed_rows = sorted(
+            seeds.select(url_hash(F.col("url")).alias("h"),
+                         "prio").collect(),
+            key=lambda r: r["prio"])
         import numpy as np
 
-        p = skel["p"].to_numpy()
-        i_arr = skel["i"].to_numpy()
-        order = np.lexsort((i_arr, p))
-        p_sorted = p[order]
-        i_sorted = i_arr[order]
-        c_sorted = skel["c"].to_numpy()[order]
+        from ..core.dfs_kernel import sweep
 
-        def children_of(ph: int):
-            lo = np.searchsorted(p_sorted, ph, side="left")
-            hi = np.searchsorted(p_sorted, ph, side="right")
-            seg = slice(lo, hi)
-            return (i_sorted[seg], c_sorted[seg])
+        p_sorted = skel["p"].to_numpy()
+        i_sorted = skel["i"].to_numpy()
+        c_sorted = skel["c"].to_numpy()
+        # CSR bounds over the pre-sorted parent column: O(n) vectorized
+        # run-length boundaries, no driver-side sort
+        if len(p_sorted):
+            brk = np.flatnonzero(p_sorted[1:] != p_sorted[:-1]) + 1
+            starts = np.concatenate(([0], brk))
+            uniq_p = p_sorted[starts]
+            bounds = np.append(starts, len(p_sorted))
+        else:
+            uniq_p = p_sorted
+            bounds = np.array([0], np.int64)
+        seed_h = np.array([int(r["h"]) for r in seed_rows], np.int64)
+        del skel, p_sorted
 
-        # The sweep pops claims in EXACT visit order, so the global
-        # visit rank falls out for free — no single-partition sort
-        # over the full visit set afterwards (that global window was
-        # the original scaling bottleneck).
-        heap = [(r["prio"], 0, int(r["h"]), None, -1)
-                for r in seed_rows]
-        heapq.heapify(heap)
-        claimed: dict[int, tuple] = {}
-        maxd = self.cfg.max_depth
-        rank = 0
-        while heap:
-            prio, depth, h, parent, li = heapq.heappop(heap)
-            if h in claimed:
-                continue
-            claimed[h] = (prio, depth, parent, li, rank)
-            rank += 1
-            if depth < maxd:
-                for i, ch in zip(*children_of(h)):
-                    chi = int(ch)
-                    if chi not in claimed:
-                        heapq.heappush(
-                            heap, (prio + _hex_prio_py(int(i)),
-                                   depth + 1, chi, h, int(i)))
-        self.timings["heap_sweep"] = round(time.time() - t0, 2)
+        # The sweep claims in EXACT visit order, so the global visit
+        # rank falls out for free (no global sort afterwards). The
+        # kernel (core/dfs_kernel.py) is the engine's one sequential
+        # constant: C when a toolchain exists (~50 ns/edge), Python
+        # fallback otherwise — both pinned equal in tests.
+        n, out_h, out_depth, out_parent_rank, out_li, impl = sweep(
+            c_sorted, i_sorted, uniq_p, bounds, seed_h,
+            self.cfg.max_depth)
+        self.timings["dfs_sweep"] = round(time.time() - t0, 2)
+        self.timings["sweep_impl"] = impl
         t0 = time.time()
-        import pandas as pd
+        # priority-vector reconstruction: one concat per CLAIM (not
+        # per edge), in rank order — parents always claim before
+        # children in preorder, so a single forward pass suffices.
+        # hex components are memoized (link indices repeat heavily).
+        seed_prio = {int(r["h"]): r["prio"] for r in seed_rows}
+        comp_memo: dict[int, str] = {}
+        prios: list[str] = []
+        pr_list = out_parent_rank.tolist()
+        li_list = out_li.tolist()
+        h_list = out_h.tolist()
+        for rank in range(n):
+            pr = pr_list[rank]
+            if pr < 0:
+                prios.append(seed_prio[h_list[rank]])
+            else:
+                li = li_list[rank]
+                comp = comp_memo.get(li)
+                if comp is None:
+                    comp = comp_memo[li] = _hex_prio_py(li)
+                prios.append(prios[pr] + comp)
+        self.timings["prio_pass"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        # hand the claims back through a parquet file written with
+        # pyarrow: ~10× faster than createDataFrame at millions of
+        # rows, session-independent (no Arrow-vs-fallback divergence
+        # on the nullable parent_h), and it doubles as the resolve
+        # checkpoint artifact.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
-        # parent_h is nullable (seeds have no parent). Keep it a plain
-        # object column of python int/None: session-independent — the
-        # Arrow path infers int64-with-null, and the non-Arrow
-        # createDataFrame fallback accepts None for LongType, whereas
-        # pandas nullable Int64 degraded to float NaN there and the
-        # LongType verifier rejected it (the round-1 driver-contract
-        # crash).
-        pdf = pd.DataFrame(
-            {"h": list(claimed.keys()),
-             "prio": [v[0] for v in claimed.values()],
-             "depth": [v[1] for v in claimed.values()],
-             "parent_h": pd.Series([v[2] for v in claimed.values()],
-                                   dtype=object),
-             "link_index": [v[3] for v in claimed.values()],
-             "visit_rank": [v[4] for v in claimed.values()]})
-        claims_df = self.spark.createDataFrame(
-            pdf, "h long, prio string, depth int, parent_h long, "
-                 "link_index int, visit_rank long")
+        parent_h = pa.array(out_h[np.maximum(out_parent_rank, 0)],
+                            pa.int64(), mask=out_parent_rank < 0)
+        claims_path = self._paths("claims")
+        os.makedirs(claims_path, exist_ok=True)
+        tbl = pa.table({
+            "h": pa.array(out_h, pa.int64()),
+            "prio": pa.array(prios, pa.string()),
+            "depth": pa.array(out_depth.astype(np.int32)),
+            "parent_h": parent_h,
+            "link_index": pa.array(out_li.astype(np.int32)),
+            "visit_rank": pa.array(np.arange(n, dtype=np.int64)),
+        })
+        pq.write_table(tbl, os.path.join(claims_path, "claims.parquet"),
+                       row_group_size=1 << 20)
+        del tbl, prios, pr_list, li_list, h_list
+        claims_df = self.spark.read.parquet(claims_path)
         # map hashes back to url strings via the frontier union —
         # every DFS claim is BFS-admitted, so the union of frontier
         # rounds (skinny url-only rows, ~visit count) contains every

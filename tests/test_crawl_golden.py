@@ -7,6 +7,8 @@ crawler_spark/oracle/simulator.py)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from crawler_spark.engine.config import CrawlConfig
@@ -100,6 +102,104 @@ def test_bloom_prefilter_identical_seen_set(spark, tmp_path):
     visits = eng.run()
     got = [_visit_tuple_engine(r) for r in visits.orderBy("visit_rank").collect()]
     exp = [_visit_tuple_oracle(v) for v in run_oracle(FIXDIR, cfg).visits]
+    assert got == exp
+
+
+def _write_depth_trap_fixture(path: str) -> None:
+    """Minimal web where politeness deferral admits a URL at a
+    NON-minimal depth: the hot.test queue (cap 1/round) defers `zz`
+    (the depth-1 parent of `c`) for three rounds while the side.test
+    chain p1→p2→p3 reaches `c` at depth 4 first. Without the
+    depth-correcting admit, `c` is frozen at depth 4 == max_depth, its
+    child `d` is rejected by the depth cap and never fetched, and the
+    DFS resolve then claims `d` via zz→c→d at depth 3 with a bogus 404
+    and loses `e` (depth 4) entirely."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+
+    def link(i, href):
+        return dict(href=href, label=f"l{i}", selector=f"a.l{i}",
+                    element_type="a", pos_x=0, pos_y=0, link_index=i)
+
+    def page(url, hrefs):
+        host = url.split("/")[2]
+        return dict(url=url, host=host, status_code=200,
+                    title=f"T {url}", meta_description="", text_content="",
+                    headings=[], links=[link(i, h)
+                                        for i, h in enumerate(hrefs)],
+                    images=[], forms=[], load_time_ms=10)
+
+    pages = [
+        page("http://seed.test/s0",
+             ["http://hot.test/a1", "http://hot.test/a2",
+              "http://hot.test/a3", "http://hot.test/zz",
+              "http://side.test/p1"]),
+        page("http://hot.test/a1", []),
+        page("http://hot.test/a2", []),
+        page("http://hot.test/a3", []),
+        page("http://hot.test/zz", ["http://x.test/c"]),
+        page("http://side.test/p1", ["http://side.test/p2"]),
+        page("http://side.test/p2", ["http://side.test/p3"]),
+        page("http://side.test/p3", ["http://x.test/c"]),
+        page("http://x.test/c", ["http://y.test/d"]),
+        page("http://y.test/d", ["http://z.test/e"]),
+        page("http://z.test/e", []),
+    ]
+    link_t = pa.list_(pa.struct([
+        ("href", pa.string()), ("label", pa.string()),
+        ("selector", pa.string()), ("element_type", pa.string()),
+        ("pos_x", pa.int32()), ("pos_y", pa.int32()),
+        ("link_index", pa.int32())]))
+    img_t = pa.list_(pa.struct([("src", pa.string()),
+                                ("alt", pa.string())]))
+    form_t = pa.list_(pa.struct([
+        ("action", pa.string()), ("method", pa.string()),
+        ("fields", pa.list_(pa.string()))]))
+    cols = {k: [p[k] for p in pages] for k in pages[0]}
+    tbl = pa.table({
+        "url": cols["url"], "host": cols["host"],
+        "status_code": pa.array(cols["status_code"], pa.int32()),
+        "title": cols["title"],
+        "meta_description": cols["meta_description"],
+        "text_content": cols["text_content"],
+        "headings": pa.array(cols["headings"], pa.list_(pa.string())),
+        "links": pa.array(cols["links"], link_t),
+        "images": pa.array(cols["images"], img_t),
+        "forms": pa.array(cols["forms"], form_t),
+        "load_time_ms": pa.array(cols["load_time_ms"], pa.int32()),
+    })
+    pq.write_table(tbl, os.path.join(path, "web_pages.parquet"))
+    hosts = sorted({p["host"] for p in pages})
+    pq.write_table(pa.table({
+        "host": hosts,
+        "disallow_prefixes": pa.array([[]] * len(hosts),
+                                      pa.list_(pa.string())),
+        "crawl_delay_ms": pa.array([0] * len(hosts), pa.int64()),
+    }), os.path.join(path, "robots.parquet"))
+    pq.write_table(pa.table({
+        "url": ["http://seed.test/s0"],
+        "seed_rank": pa.array([0], pa.int32()),
+    }), os.path.join(path, "seeds.parquet"))
+
+
+def test_politeness_depth_correction(spark, tmp_path):
+    """Regression: deferred shallow parents must not freeze a URL at an
+    inflated depth (subtree truncation at the max_depth cap). The
+    engine with politeness ON must still match the oracle exactly."""
+    fix = str(tmp_path / "trap-fixture")
+    _write_depth_trap_fixture(fix)
+    cfg = CrawlConfig(max_depth=4, rate_limit=1)
+    eng = FrontierEngine(spark, cfg, fix,
+                         fresh_ckpt(str(tmp_path / "trap-ck")),
+                         enforce_politeness=True)
+    visits = eng.run()
+    got = [_visit_tuple_engine(r)
+           for r in visits.orderBy("visit_rank").collect()]
+    exp = [_visit_tuple_oracle(v) for v in run_oracle(fix, cfg).visits]
+    # the deepest chain (…→zz→c→d→e) must be present with real statuses
+    assert "http://z.test/e" in {t[1] for t in got}
     assert got == exp
 
 

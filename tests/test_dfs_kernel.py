@@ -1,0 +1,96 @@
+"""Parity of the C DFS-claiming kernel with its pure-Python twin.
+
+The sweep is the engine's one sequential step (exact-order contract;
+see crawler_spark/core/dfs_kernel.py) — these tests pin the compiled
+kernel to the Python reference on randomized graphs so the fast path
+can never drift. No Spark involved.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from crawler_spark.core.dfs_kernel import sweep_c, sweep_py
+
+
+def _random_skeleton(rng, n_nodes, n_edges, n_seeds):
+    """Random (parent, link_index, child) skeleton in CSR form, using
+    arbitrary int64 'hashes' (including negatives) as node ids."""
+    ids = rng.integers(-(2 ** 62), 2 ** 62, size=n_nodes, dtype=np.int64)
+    ids = np.unique(ids)
+    p = ids[rng.integers(0, len(ids), n_edges)]
+    c = ids[rng.integers(0, len(ids), n_edges)]
+    i = rng.integers(0, 50, n_edges).astype(np.int32)
+    order = np.lexsort((i, p))
+    p, i, c = p[order], i[order], c[order]
+    uniq_p, starts = np.unique(p, return_index=True)
+    bounds = np.append(starts, len(p))
+    seeds = ids[rng.integers(0, len(ids), n_seeds)]
+    return c, i, uniq_p, bounds, seeds
+
+
+def _assert_same(res_a, res_b):
+    na, ha, da, pa_, la = res_a
+    nb, hb, db, pb, lb = res_b
+    assert na == nb
+    np.testing.assert_array_equal(ha, hb)
+    np.testing.assert_array_equal(da, db)
+    np.testing.assert_array_equal(pa_, pb)
+    np.testing.assert_array_equal(la, lb)
+
+
+@pytest.fixture(scope="module")
+def c_available():
+    c, i, up, b, s = _random_skeleton(np.random.default_rng(0), 10, 20, 2)
+    if sweep_c(c, i, up, b, s, 3) is None:
+        pytest.skip("no C toolchain in this environment")
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+def test_c_matches_python_random(c_available, seed):
+    rng = np.random.default_rng(seed)
+    c, i, up, b, s = _random_skeleton(
+        rng, n_nodes=400, n_edges=3000, n_seeds=5)
+    for maxd in (0, 1, 3, 8):
+        _assert_same(sweep_c(c, i, up, b, s, maxd),
+                     sweep_py(c, i, up, b, s, maxd))
+
+
+def test_c_matches_python_dense(c_available):
+    # dense graph: heavy already-claimed skipping + duplicate edges
+    rng = np.random.default_rng(99)
+    c, i, up, b, s = _random_skeleton(
+        rng, n_nodes=50, n_edges=5000, n_seeds=50)
+    _assert_same(sweep_c(c, i, up, b, s, 6), sweep_py(c, i, up, b, s, 6))
+
+
+def test_python_semantics_tiny():
+    # hand-checked DFS preorder with claim-at-pop: seed 10 visits
+    # 10 → 20 (li 0) → 30 (li 0, via 20) → 40; 30 NOT re-claimed via
+    # 10's li=1 edge; second seed 20 already claimed.
+    #   10 -(0)-> 20, 10 -(1)-> 30, 20 -(0)-> 30, 30 -(0)-> 40
+    p = np.array([10, 10, 20, 30], np.int64)
+    i = np.array([0, 1, 0, 0], np.int32)
+    c = np.array([20, 30, 30, 40], np.int64)
+    order = np.lexsort((i, p))
+    uniq_p, starts = np.unique(p[order], return_index=True)
+    bounds = np.append(starts, len(p))
+    n, h, d, pr, li = sweep_py(c[order], i[order], uniq_p, bounds,
+                               np.array([10, 20], np.int64), 8)
+    assert h.tolist() == [10, 20, 30, 40]
+    assert d.tolist() == [0, 1, 2, 3]
+    assert pr.tolist() == [-1, 0, 1, 2]
+    assert li.tolist() == [-1, 0, 0, 0]
+
+
+def test_depth_cap_claims_but_does_not_expand():
+    # at max_depth the node is claimed but its children are not pushed
+    p = np.array([1, 2], np.int64)
+    i = np.array([0, 0], np.int32)
+    c = np.array([2, 3], np.int64)
+    uniq_p, starts = np.unique(p, return_index=True)
+    bounds = np.append(starts, len(p))
+    n, h, d, pr, li = sweep_py(c, i, uniq_p, bounds,
+                               np.array([1], np.int64), 1)
+    assert h.tolist() == [1, 2]  # 3 is beyond the depth cap

@@ -31,6 +31,13 @@ from bench import ensure_bench_web, run_frontier_bench
 
 spark = get_spark("scaling", cores={cores}, shuffle_partitions={cores})
 ensure_bench_web()
+# JIT prewarm: one full engine pass (explore + resolve, politeness on)
+# over a small cached web, so the timed run below measures the
+# steady-state engine, not JVM/codegen warmup — warmup is a per-JVM
+# constant identical at both core counts and would otherwise dilute
+# the measured scaling of the actual distributed work. Standard
+# steady-state benchmarking; both children prewarm identically.
+run_frontier_bench(spark, max_depth=6, pages=50_000, seeds=1024)
 res = run_frontier_bench(spark, max_depth={depth})
 print("RESULT " + json.dumps(res))
 """
@@ -88,26 +95,35 @@ print("PREWARMED")
     subprocess.run([sys.executable, "-c", prewarm], cwd=REPO, check=True,
                    env=env)
 
-    small = min((run_one(args.small, args.depth, args.pages)
-                 for _ in range(args.repeat)), key=lambda r: r["sec"])
-    large = min((run_one(args.large, args.depth, args.pages)
-                 for _ in range(args.repeat)), key=lambda r: r["sec"])
+    import statistics
+
+    small_runs = [run_one(args.small, args.depth, args.pages)
+                  for _ in range(args.repeat)]
+    large_runs = [run_one(args.large, args.depth, args.pages)
+                  for _ in range(args.repeat)]
+    small = min(small_runs, key=lambda r: r["sec"])
+    large = min(large_runs, key=lambda r: r["sec"])
     ratio = args.large / args.small
     eff = (large["urls_per_sec"] / (ratio * small["urls_per_sec"]))
     eff_explore = (large["explore_urls_per_sec"]
                    / (ratio * small["explore_urls_per_sec"]))
+    med_s = statistics.median(r["sec"] for r in small_runs)
+    med_l = statistics.median(r["sec"] for r in large_runs)
     out = {
         "small_cores": args.small, "large_cores": args.large,
         "small": small, "large": large,
+        "small_runs_sec": [r["sec"] for r in small_runs],
+        "large_runs_sec": [r["sec"] for r in large_runs],
         "speedup": round(large["urls_per_sec"] / small["urls_per_sec"], 3),
         "ideal_ratio": ratio,
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_median": round(med_s / (ratio * med_l), 3),
         "explore_speedup": round(large["explore_urls_per_sec"]
                                  / small["explore_urls_per_sec"], 3),
         "explore_scaling_efficiency": round(eff_explore, 3),
-        "note": ("explore = distributed schedule+fetch loop; resolve = "
-                 "sequential exact-DFS ordering sweep (P-complete, "
-                 "constant by design)"),
+        "note": ("min-of-N headline (noisy-neighbor sandbox), median "
+                 "alongside; politeness scheduler ON; children prewarm "
+                 "JVM/codegen on a small web before timing"),
     }
     print(json.dumps(out, indent=2))
     if args.json:
