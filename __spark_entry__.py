@@ -474,7 +474,14 @@ def q_frontier_crawl(spark, sf_dir):
     fixture = os.path.join(_REPO, "fixtures", "t-smoke")
     ck = fresh_ckpt(os.path.join(tempfile.gettempdir(),
                                  "crawler_spark_contract_crawl"))
-    eng = FrontierEngine(spark, CrawlConfig(max_depth=3, rate_limit=100),
+    # politeness ON with a 60 s batch window: delay-capped hosts get
+    # window/delay slots per round (t-smoke has 500-1000 ms crawl
+    # delays; the default 1 s window capped them at 1-2 URLs/round and
+    # serialized the whole run into ~95 nearly-empty rounds). The
+    # scheduler is still fully exercised — per-host caps, deferral and
+    # batch_id assignment all apply — just at a realistic window.
+    eng = FrontierEngine(spark, CrawlConfig(max_depth=3, rate_limit=100,
+                                            batch_window_ms=60_000),
                          fixture, ck, enforce_politeness=True)
     visits = eng.run()
     return visits.select("visit_rank", "url", "depth", "status_code",

@@ -87,12 +87,16 @@ def run_frontier_bench(spark, max_depth: int = 8,
     web = ensure_bench_web(pages, seeds)
     # politeness ON: the north star names a politeness-aware fetch
     # scheduler, so the headline number includes per-host budgeted
-    # batch selection. rate_limit 50k/host/window is the bench's
-    # crawler capacity (the reference's rateLimit is a config knob,
-    # crawler-engine.ts:81): big enough that the mega-host (~30% of
-    # pages) drains in a handful of extra windows instead of
-    # serializing the whole bench on one host's queue.
-    cfg = CrawlConfig(max_depth=max_depth, rate_limit=50_000,
+    # batch selection. rate_limit is the bench crawler's per-host
+    # capacity (the reference's rateLimit is a config knob,
+    # crawler-engine.ts:81); it scales with the web so the mega-host
+    # (~30% of pages) drains in a handful of extra politeness windows
+    # at any benchmark size instead of serializing the whole bench on
+    # one host's queue — the deferral/budget machinery is exercised
+    # identically, just not degenerate.
+    pg = pages or BENCH_PAGES
+    cfg = CrawlConfig(max_depth=max_depth,
+                      rate_limit=max(50_000, pg // 20),
                       batch_window_ms=1000)
     # checkpoint on tmpfs: round outputs are re-read every round; the
     # sandbox's /tmp disk throttles that at high core counts

@@ -240,13 +240,17 @@ class FrontierEngine:
     def _footer_rows(path: str) -> dict[str, int]:
         """Per-file row counts from parquet footers (driver-side, no
         Spark job): the written files ARE the partitions, so this is
-        the per-partition lineage for free."""
+        the per-partition lineage for free. Recursive (frontier rounds
+        are partitioned by `sel`)."""
         import pyarrow.parquet as pq
 
         out: dict[str, int] = {}
-        for f in sorted(os.listdir(path)):
-            if f.endswith(".parquet"):
-                out[f] = pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        for root, _dirs, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, f), path)
+                    out[rel] = pq.ParquetFile(
+                        os.path.join(root, f)).metadata.num_rows
         return out
 
     def _state(self) -> dict:
@@ -262,10 +266,12 @@ class FrontierEngine:
             json.dump(st, f)
         os.replace(tmp, os.path.join(self.ckpt, "_state.json"))
 
-    def _politeness_select(self, frontier: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """Split frontier into (this round's batch, deferred) under
-        per-host caps. Mega-host skew: rank within (host, salt) with
-        the budget split across salts so no task scans a whole host."""
+    def _politeness_mark(self, frontier: DataFrame) -> DataFrame:
+        """Tag each frontier row with its politeness verdict for the
+        NEXT round: sel='b' (within the per-host budget, fetch now) or
+        sel='d' (deferred). Mega-host skew: rank within (host, salt)
+        with the budget split across salts so no task scans a whole
+        host."""
         cap_col = F.coalesce(
             F.when(F.col("crawl_delay_ms") > 0,
                    F.greatest(F.lit(1), F.least(
@@ -291,10 +297,40 @@ class FrontierEngine:
                           .otherwise(F.col("cap"))))
         w = Window.partitionBy("host", "salt").orderBy("depth", "url")
         fr = fr.withColumn("rn", F.row_number().over(w))
-        batch = fr.filter(F.col("rn") <= F.col("salt_cap"))
-        deferred = fr.filter(F.col("rn") > F.col("salt_cap"))
-        keep = ["url", "depth", "host"]
-        return batch.select(*keep), deferred.select(*keep)
+        return fr.select("url", "depth", "host",
+                         F.when(F.col("rn") <= F.col("salt_cap"),
+                                F.lit("b")).otherwise(F.lit("d"))
+                         .alias("sel"))
+
+    def _write_frontier(self, frontier: DataFrame, rnd: int) -> None:
+        """Write a frontier round partitioned by the politeness
+        verdict. Fusing the budget window into the frontier WRITE
+        (instead of a separate cache+count selection job at the start
+        of the next round) keeps a politeness round at the same three
+        Spark jobs as a non-politeness one — the per-round fixed cost
+        is the scaling-efficiency denominator, so every job counts."""
+        if self.enforce_politeness:
+            out = self._politeness_mark(frontier)
+        else:
+            out = frontier.select("url", "depth", "host",
+                                  F.lit("b").alias("sel"))
+        (out.write.mode("overwrite").partitionBy("sel")
+         .parquet(self._paths("frontier", rnd)))
+
+    def _read_round(self, rnd: int) -> tuple[DataFrame, DataFrame, int]:
+        """(batch, deferred, n_batch) for a written frontier round —
+        row count from parquet footers, no Spark job."""
+        base = self._paths("frontier", rnd)
+        bdir = os.path.join(base, "sel=b")
+        ddir = os.path.join(base, "sel=d")
+        n_batch = (sum(self._footer_rows(bdir).values())
+                   if os.path.isdir(bdir) else 0)
+        batch = (self.spark.read.parquet(bdir) if n_batch
+                 else self.spark.createDataFrame(
+                     [], "url string, depth int, host string"))
+        deferred = (self.spark.read.parquet(ddir)
+                    if os.path.isdir(ddir) else batch.limit(0))
+        return batch, deferred, n_batch
 
     def explore(self, max_rounds: int = 10_000) -> None:
         """Run (or resume) the explore loop to completion. Each round:
@@ -306,11 +342,10 @@ class FrontierEngine:
             return
         rnd = st["completed_rounds"]
         if rnd == 0:
-            frontier = (self.seed_claims()
-                        .withColumn("host", url_host(F.col("url")))
-                        .select("url", "depth", "host"))
-            frontier.write.mode("overwrite").parquet(self._paths("frontier", 0))
-        frontier = self.spark.read.parquet(self._paths("frontier", rnd))
+            self._write_frontier(
+                self.seed_claims()
+                .withColumn("host", url_host(F.col("url")))
+                .select("url", "depth", "host"), 0)
         while rnd < max_rounds:
             t_round = time.time()
             steps: dict[str, float] = {}
@@ -320,16 +355,10 @@ class FrontierEngine:
                 nonlocal t_step
                 steps[name] = round(time.time() - t_step, 2)
                 t_step = time.time()
-            if self.enforce_politeness:
-                batch, deferred = self._politeness_select(frontier)
-                batch = batch.cache()
-                n_batch = batch.count()
-            else:
-                # no Spark job: row count from the parquet footers of
-                # the frontier round just written
-                batch, deferred = frontier, frontier.limit(0)
-                n_batch = sum(
-                    self._footer_rows(self._paths("frontier", rnd)).values())
+            # batch/deferred come pre-split from the round's frontier
+            # write (politeness fused there); counts from footers — the
+            # selection costs ZERO Spark jobs at round start
+            batch, deferred, n_batch = self._read_round(rnd)
             tick("select")
             if n_batch == 0:
                 self._save_state({"completed_rounds": rnd, "done": True})
@@ -428,9 +457,11 @@ class FrontierEngine:
             # replaces both the attempted table and a second
             # deferred anti-join. Reading from checkpoint also
             # truncates lineage across rounds.
-            all_seen = (self.spark.read.parquet(self._paths("frontier"))
-                        .select("url"))
             cand = cand.select("url", "depth", "host")
+            # one partition discovery of the frontier history per
+            # round, shared by every variant below
+            frontier_hist = self.spark.read.parquet(self._paths("frontier"))
+            all_seen = frontier_hist.select("url")
             if self.enforce_politeness:
                 # Depth-correcting admit. Under politeness a URL can be
                 # FIRST admitted at a non-minimal depth: its shallow
@@ -448,8 +479,7 @@ class FrontierEngine:
                 # stays exact. The optional bloom pre-filter composes:
                 # certain-new candidates skip the exact join; only
                 # maybe-seen ones pay the depth check.
-                seen_best = (self.spark.read.parquet(self._paths("frontier"))
-                             .groupBy("url")
+                seen_best = (frontier_hist.groupBy("url")
                              .agg(F.min("depth").alias("seen_depth")))
                 if self.use_bloom:
                     from ..operators.bloom import (build_bloom,
@@ -491,8 +521,7 @@ class FrontierEngine:
                 deferred.unionByName(new_cand)
                 .groupBy("url").agg(F.min("depth").alias("depth"),
                                     F.first("host").alias("host")))
-            new_frontier.write.mode("overwrite").parquet(
-                self._paths("frontier", rnd + 1))
+            self._write_frontier(new_frontier, rnd + 1)
             tick("admit")
             # per-round metrics + per-partition lineage straight from
             # the parquet footers (no Spark job; one footer per
@@ -512,9 +541,6 @@ class FrontierEngine:
                            steps=steps)
             with open(os.path.join(self.ckpt, "metrics.jsonl"), "a") as f:
                 f.write(json.dumps(metrics) + "\n")
-            if self.enforce_politeness:
-                batch.unpersist()
-            frontier = self.spark.read.parquet(self._paths("frontier", rnd + 1))
             rnd += 1
             self._save_state({"completed_rounds": rnd, "done": False})
 
@@ -582,17 +608,46 @@ class FrontierEngine:
         # host-partitioned (distributed) window afterwards. Strings
         # stay JVM-side (string hashes made this collect the dominant
         # resolve cost).
-        # the (p, i) sort runs DISTRIBUTED (range-partitioned sort;
-        # toPandas concatenates partitions in order, so the collected
-        # frame arrives globally sorted) — the driver's only remaining
-        # skeleton work is a linear run-length scan for the CSR bounds
-        skel = (edges.select(
+        # Handoff: the grouping runs DISTRIBUTED — hash-partition by
+        # parent + sortWithinPartitions(p, i) (the kernel needs each
+        # parent's children contiguous in link order, NOT a global
+        # sort, so this skips orderBy's range-sampling job and can't
+        # skew) — written to parquet by all cores, then read back with
+        # a thread pool. A single-stream driver toPandas() collect
+        # here was 61 s of the committed 32-core bench (the dominant
+        # resolve cost); the parallel write+read path scales with
+        # cores on both sides.
+        skel_path = self._paths("skeleton")
+        npart = max(self.spark.sparkContext.defaultParallelism, 4)
+        (edges.select(
             url_hash(F.col("parent_url")).alias("p"),
             F.col("link_index").alias("i"),
             url_hash(F.col("child_url")).alias("c"))
-            .orderBy("p", "i")
-            .toPandas())
-        self.timings["skeleton_collect"] = round(time.time() - t0, 2)
+            .repartition(npart, "p")
+            .sortWithinPartitions("p", "i")
+            .write.mode("overwrite").parquet(skel_path))
+        self.timings["skeleton_write"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
+
+        part_files = sorted(
+            os.path.join(skel_path, f) for f in os.listdir(skel_path)
+            if f.endswith(".parquet"))
+        if part_files:
+            with ThreadPoolExecutor(min(16, len(part_files))) as ex:
+                parts = list(ex.map(pq.read_table, part_files))
+            # explicit in-order concat: a parent's rows live in exactly
+            # one part (hash partitioning), so concatenation keeps
+            # every parent contiguous and link-sorted
+            skel_t = pa.concat_tables(parts)
+            del parts
+        else:
+            skel_t = pa.table({"p": pa.array([], pa.int64()),
+                               "i": pa.array([], pa.int32()),
+                               "c": pa.array([], pa.int64())})
+        self.timings["skeleton_read"] = round(time.time() - t0, 2)
         t0 = time.time()
         # seeds sorted by prio string ≡ seed_rank order: the oracle
         # crawls each seed's subtree to completion before the next
@@ -600,13 +655,15 @@ class FrontierEngine:
             seeds.select(url_hash(F.col("url")).alias("h"),
                          "prio").collect(),
             key=lambda r: r["prio"])
+        self.timings["seed_collect"] = round(time.time() - t0, 2)
+        t0 = time.time()
         import numpy as np
 
         from ..core.dfs_kernel import sweep
 
-        p_sorted = skel["p"].to_numpy()
-        i_sorted = skel["i"].to_numpy()
-        c_sorted = skel["c"].to_numpy()
+        p_sorted = skel_t["p"].to_numpy(zero_copy_only=False)
+        i_sorted = skel_t["i"].to_numpy(zero_copy_only=False)
+        c_sorted = skel_t["c"].to_numpy(zero_copy_only=False)
         # CSR bounds over the pre-sorted parent column: O(n) vectorized
         # run-length boundaries, no driver-side sort
         if len(p_sorted):
@@ -618,7 +675,7 @@ class FrontierEngine:
             uniq_p = p_sorted
             bounds = np.array([0], np.int64)
         seed_h = np.array([int(r["h"]) for r in seed_rows], np.int64)
-        del skel, p_sorted
+        del skel_t, p_sorted
 
         # The sweep claims in EXACT visit order, so the global visit
         # rank falls out for free (no global sort afterwards). The
