@@ -372,6 +372,114 @@ def q_rules_merge(spark, sf_dir):
         "version")
 
 
+def q_uncaptured_modals(spark, sf_dir):
+    """J6: modal-vs-captured anti-join on (session, selector,
+    content[:50]) (browser-session.ts:4008-4015). Detected modals from
+    odd events, captured set from even events."""
+    from crawler_spark.streaming.record_mode import uncaptured_modals
+    e = _t(spark, sf_dir, "events")
+    content = F.get_json_object("props", "$.k")
+    detected = (e.filter(F.col("event_id") % 2 == 1)
+                .select(F.col("user_id").alias("session_id"),
+                        F.col("event_type").alias("selector"),
+                        F.col("event_id").alias("modal_id"),
+                        content.alias("content")))
+    captured = (e.filter(F.col("event_id") % 2 == 0)
+                .select(F.col("user_id").alias("session_id"),
+                        F.col("event_type").alias("selector"),
+                        content.alias("content")))
+    return (uncaptured_modals(detected, captured)
+            .select("session_id", "selector", "modal_id",
+                    "content_preview"))
+
+
+def q_component_monitor(spark, sf_dir):
+    """M8: trained-component monitor — rules ⋈ live visible elements
+    per tick, monitor-start on run begin, disappeared-state cleanup at
+    run end (browser-session.ts:2934-2997)."""
+    from crawler_spark.streaming.record_mode import component_monitor
+    n = _t(spark, sf_dir, "nation")
+    e = _t(spark, sf_dir, "events")
+    rules = n.select(
+        F.concat(F.lit("d"), (F.col("n_nationkey") % 5).cast("string"))
+        .alias("domain"),
+        F.lit("/p").alias("page_path"),
+        F.concat(F.lit("s"), (F.col("n_nationkey") % 3).cast("string"))
+        .alias("selector"),
+        F.concat(F.lit("c"), F.col("n_nationkey").cast("string"))
+        .alias("component_id"))
+    elements = (e.select(
+        F.col("user_id").alias("session_id"),
+        F.concat(F.lit("d"), (F.col("event_id") % 5).cast("string"))
+        .alias("domain"),
+        F.lit("/p").alias("page_path"),
+        F.concat(F.lit("s"), (F.col("event_id") % 3).cast("string"))
+        .alias("selector"),
+        (F.col("event_id") % 2).alias("instance"),
+        (F.col("value") > 10.0).alias("visible"),
+        F.floor(F.col("value") / 4).cast("long").alias("tick"))
+        .distinct())
+    return (component_monitor(rules, elements)
+            .select("session_id", "uid",
+                    F.col("tick").cast("long").alias("tick"), "event"))
+
+
+def q_rules_delete(spark, sf_dir):
+    """SO5: MERGE … WHEN MATCHED DELETE over the rules store — drop
+    matching (domain, component_id) rows, bump the surviving domain
+    version once per successful delete
+    (delete-trained-component/route.ts:29-42)."""
+    from crawler_spark.streaming.record_mode import delete_trained_components
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    state = n.select(
+        F.concat(F.lit("d"), (F.col("n_nationkey") % 5).cast("string"))
+        .alias("domain"),
+        F.concat(F.lit("c"), F.col("n_nationkey").cast("string"))
+        .alias("component_id"),
+        F.concat(F.lit("s"), F.col("n_nationkey").cast("string"))
+        .alias("selector"),
+        (F.lit(2) + F.col("n_nationkey") % 5).cast("long").alias("version"))
+    # joint residues of p_partkey mod 4 / mod 10 only cover same-parity
+    # (domain, component) pairs, so part of the state survives: real
+    # deletes, real 404s, real survivors at every sf
+    deletes = p.select(
+        F.concat(F.lit("d"), (F.col("p_partkey") % 4).cast("string"))
+        .alias("domain"),
+        F.concat(F.lit("c"), (F.col("p_partkey") % 10).cast("string"))
+        .alias("component_id"))
+    return (delete_trained_components(state, deletes)
+            .select("domain", "component_id", "selector", "version"))
+
+
+def q_screenshot_serve(spark, sf_dir):
+    """F12+S8: screenshot serving — id-validation guard (reject empty
+    / '..' / '/' / '\\' filenames with 400,
+    screenshots/[filename]/route.ts:15-17) then lookup in the shot
+    store (404 when absent, 200 served)."""
+    from crawler_spark.functions.urls import valid_screenshot_id
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey").cast("string")
+    filename = (
+        F.when(F.col("p_partkey") % 5 == 0, F.concat(F.lit("../shots/"), k))
+        .when(F.col("p_partkey") % 5 == 1,
+              F.concat(F.lit("dir/"), k, F.lit(".png")))
+        .when(F.col("p_partkey") % 5 == 2, F.concat(F.lit("c:\\win\\"), k))
+        .when(F.col("p_partkey") % 5 == 3, F.lit(""))
+        .otherwise(F.concat(F.lit("shot-"), k, F.lit(".png"))))
+    req = p.select("p_partkey", filename.alias("filename"))
+    store = (p.filter(F.col("p_partkey") % 2 == 0)
+             .select(F.concat(F.lit("shot-"), k, F.lit(".png"))
+                     .alias("filename"))
+             .distinct().withColumn("found", F.lit(1)))
+    return (req.join(F.broadcast(store), "filename", "left")
+            .select("p_partkey", "filename",
+                    F.when(~valid_screenshot_id(F.col("filename")),
+                           F.lit(400))
+                    .when(F.col("found").isNull(), F.lit(404))
+                    .otherwise(F.lit(200)).cast("long").alias("status")))
+
+
 def q_parent_components(spark, sf_dir):
     """M7: parent-component detection via DOM node-path prefix
     containment (nearest containing ancestor wins)."""
@@ -692,6 +800,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # record-mode / HTML families (§2.8-2.9) + the engine itself
         "modal_lifecycle": q_modal_lifecycle,
         "rules_merge": q_rules_merge,
+        "uncaptured_modals": q_uncaptured_modals,
+        "component_monitor": q_component_monitor,
+        "rules_delete": q_rules_delete,
+        "screenshot_serve": q_screenshot_serve,
         "parent_components": q_parent_components,
         "hier_selector": q_hier_selector,
         "html_sanitize": q_html_sanitize,
@@ -1002,6 +1114,88 @@ UNION ALL
 SELECT s.domain, s.page_path, s.selector, s.component_id, s.classes,
        s.version
 FROM state s ANTI JOIN batch b USING (domain, page_path, selector)
+""",
+        "uncaptured_modals": """
+WITH cap AS (
+  SELECT DISTINCT user_id AS session_id, event_type AS selector,
+         substring(coalesce(json_extract_string(props, '$.k'), ''), 1, 50)
+           AS content_preview
+  FROM events WHERE event_id % 2 = 0)
+SELECT session_id, selector, modal_id, content_preview FROM (
+  SELECT user_id AS session_id, event_type AS selector,
+         event_id AS modal_id,
+         substring(coalesce(json_extract_string(props, '$.k'), ''), 1, 50)
+           AS content_preview
+  FROM events WHERE event_id % 2 = 1) d
+ANTI JOIN cap USING (session_id, selector, content_preview)
+""",
+        "component_monitor": """
+WITH rules AS (
+  SELECT 'd' || (n_nationkey % 5) AS domain, '/p' AS page_path,
+         's' || (n_nationkey % 3) AS selector,
+         'c' || n_nationkey AS component_id
+  FROM nation),
+elements AS (
+  SELECT DISTINCT user_id AS session_id,
+         'd' || (event_id % 5) AS domain, '/p' AS page_path,
+         's' || (event_id % 3) AS selector,
+         event_id % 2 AS instance, value > 10.0 AS visible,
+         CAST(floor(value / 4) AS BIGINT) AS tick
+  FROM events),
+live AS (
+  SELECT e.session_id, r.component_id || '_' || e.instance AS uid, e.tick
+  FROM elements e JOIN rules r USING (domain, page_path, selector)
+  WHERE e.visible),
+d AS (
+  SELECT *, lag(tick) OVER w AS prev_tick, lead(tick) OVER w AS next_tick
+  FROM live WINDOW w AS (PARTITION BY session_id, uid ORDER BY tick))
+SELECT session_id, uid, tick, 'monitor' AS event FROM d
+ WHERE prev_tick IS NULL OR tick - prev_tick > 1
+UNION ALL
+SELECT session_id, uid, tick + 1, 'cleanup' FROM d
+ WHERE next_tick IS NULL OR next_tick - tick > 1
+""",
+        "rules_delete": """
+WITH state AS (
+  SELECT 'd' || (n_nationkey % 5) AS domain,
+         'c' || n_nationkey AS component_id,
+         's' || n_nationkey AS selector,
+         CAST(2 + n_nationkey % 5 AS BIGINT) AS version
+  FROM nation),
+dk AS (
+  SELECT DISTINCT 'd' || (p_partkey % 4) AS domain,
+         'c' || (p_partkey % 10) AS component_id
+  FROM part),
+nd AS (
+  SELECT domain, count(DISTINCT component_id) AS n_deleted
+  FROM (SELECT * FROM state SEMI JOIN dk USING (domain, component_id))
+  GROUP BY domain),
+kept AS (SELECT * FROM state ANTI JOIN dk USING (domain, component_id))
+SELECT k.domain, k.component_id, k.selector,
+       k.version + coalesce(nd.n_deleted, 0) AS version
+FROM kept k LEFT JOIN nd USING (domain)
+""",
+        "screenshot_serve": """
+WITH req AS (
+  SELECT p_partkey,
+         CASE p_partkey % 5
+           WHEN 0 THEN '../shots/' || p_partkey
+           WHEN 1 THEN 'dir/' || p_partkey || '.png'
+           WHEN 2 THEN 'c:\\win\\' || p_partkey
+           WHEN 3 THEN ''
+           ELSE 'shot-' || p_partkey || '.png' END AS filename
+  FROM part),
+store AS (
+  SELECT DISTINCT 'shot-' || p_partkey || '.png' AS filename
+  FROM part WHERE p_partkey % 2 = 0)
+SELECT r.p_partkey, r.filename,
+       CAST(CASE WHEN r.filename = ''
+                   OR position('..' IN r.filename) > 0
+                   OR position('/' IN r.filename) > 0
+                   OR position('\\' IN r.filename) > 0 THEN 400
+                 WHEN s.filename IS NULL THEN 404
+                 ELSE 200 END AS BIGINT) AS status
+FROM req r LEFT JOIN store s USING (filename)
 """,
         "parent_components": """
 WITH comp AS (

@@ -628,25 +628,50 @@ class FrontierEngine:
             .write.mode("overwrite").parquet(skel_path))
         self.timings["skeleton_write"] = round(time.time() - t0, 2)
         t0 = time.time()
+        # node table: SORTED distinct node hashes (attempted urls ∪
+        # seeds — every claimable node: a child the DFS can claim at
+        # depth ≤ max_depth has BFS depth ≤ its DFS depth, so BFS
+        # admitted it into a frontier round; edges to deeper children
+        # are dead and marked id -1 below). Distributed distinct +
+        # range sort; part files concatenate globally sorted. The
+        # sorted hash array is the id dictionary: id(h) = its position
+        # — dense int32 ids keep the sweep's random-access state at
+        # ~8 bytes/node (L3-resident) instead of an open-addressing
+        # hash walk, which was memory-bound at bench scale.
+        nodes_path = self._paths("nodes")
+        (self.spark.read.parquet(self._paths("frontier"))
+         .select(url_hash(F.col("url")).alias("h"))
+         .unionByName(seeds.select(url_hash(F.col("url")).alias("h")))
+         .distinct()
+         .repartitionByRange(npart, "h")
+         .sortWithinPartitions("h")
+         .write.mode("overwrite").parquet(nodes_path))
+        self.timings["nodes_write"] = round(time.time() - t0, 2)
+        t0 = time.time()
         import pyarrow as pa
         import pyarrow.parquet as pq
         from concurrent.futures import ThreadPoolExecutor
 
-        part_files = sorted(
-            os.path.join(skel_path, f) for f in os.listdir(skel_path)
-            if f.endswith(".parquet"))
-        if part_files:
-            with ThreadPoolExecutor(min(16, len(part_files))) as ex:
-                parts = list(ex.map(pq.read_table, part_files))
-            # explicit in-order concat: a parent's rows live in exactly
-            # one part (hash partitioning), so concatenation keeps
-            # every parent contiguous and link-sorted
-            skel_t = pa.concat_tables(parts)
-            del parts
-        else:
-            skel_t = pa.table({"p": pa.array([], pa.int64()),
-                               "i": pa.array([], pa.int32()),
-                               "c": pa.array([], pa.int64())})
+        def read_dir(path, empty_schema):
+            files = sorted(
+                os.path.join(path, f) for f in os.listdir(path)
+                if f.endswith(".parquet"))
+            if not files:
+                return pa.table(empty_schema)
+            with ThreadPoolExecutor(min(16, len(files))) as ex:
+                parts = list(ex.map(pq.read_table, files))
+            # explicit in-order concat: skeleton parts are
+            # parent-hash-partitioned (each parent contiguous and
+            # link-sorted); node parts are range-partitioned (global
+            # sort by construction)
+            return pa.concat_tables(parts)
+
+        skel_t = read_dir(skel_path, {"p": pa.array([], pa.int64()),
+                                      "i": pa.array([], pa.int32()),
+                                      "c": pa.array([], pa.int64())})
+        node_sorted = (read_dir(nodes_path,
+                                {"h": pa.array([], pa.int64())})["h"]
+                       .to_numpy(zero_copy_only=False))
         self.timings["skeleton_read"] = round(time.time() - t0, 2)
         t0 = time.time()
         # seeds sorted by prio string ≡ seed_rank order: the oracle
@@ -677,14 +702,49 @@ class FrontierEngine:
         seed_h = np.array([int(r["h"]) for r in seed_rows], np.int64)
         del skel_t, p_sorted
 
+        # Dictionary-encode hashes → dense int32 ids against the
+        # Spark-sorted node table (vectorized binary searches, O(E log
+        # N) sequential reads — the RANDOM accesses all move into the
+        # kernel's 8-byte/node direct-indexed state). Children absent
+        # from the table are BFS-unreachable within the depth cap, so
+        # the DFS can never claim them either: dead edges, id -1.
+        n_nodes = len(node_sorted)
+        if n_nodes:
+            pos = np.minimum(np.searchsorted(node_sorted, c_sorted),
+                             n_nodes - 1)
+            c_id = np.where(node_sorted[pos] == c_sorted,
+                            pos, -1).astype(np.int32)
+            p_pos = np.minimum(np.searchsorted(node_sorted, uniq_p),
+                               n_nodes - 1)
+            p_found = node_sorted[p_pos] == uniq_p
+            if not bool(p_found.all()):
+                # defensive: a parent outside the node table (cannot
+                # happen for engine-written edges — every fetched
+                # parent was a frontier row) would corrupt another
+                # node's CSR slot; drop its rows instead.
+                keep = np.repeat(p_found, np.diff(bounds))
+                c_id, i_sorted = c_id[keep], i_sorted[keep]
+                bounds = np.concatenate(
+                    ([0], np.cumsum(np.diff(bounds)[p_found])))
+                p_pos = p_pos[p_found]
+            uniq_p_id = p_pos.astype(np.int32)
+            seed_id = np.searchsorted(node_sorted, seed_h).astype(np.int32)
+        else:
+            c_id = np.empty(0, np.int32)
+            uniq_p_id = np.empty(0, np.int32)
+            seed_id = np.empty(0, np.int32)
+        self.timings["id_encode"] = round(time.time() - t0, 2)
+        t0 = time.time()
+
         # The sweep claims in EXACT visit order, so the global visit
         # rank falls out for free (no global sort afterwards). The
         # kernel (core/dfs_kernel.py) is the engine's one sequential
-        # constant: C when a toolchain exists (~50 ns/edge), Python
+        # constant: C when a toolchain exists (~20 ns/edge), Python
         # fallback otherwise — both pinned equal in tests.
-        n, out_h, out_depth, out_parent_rank, out_li, impl = sweep(
-            c_sorted, i_sorted, uniq_p, bounds, seed_h,
+        n, out_id, out_depth, out_parent_rank, out_li, impl = sweep(
+            c_id, i_sorted, uniq_p_id, bounds, seed_id, n_nodes,
             self.cfg.max_depth)
+        out_h = node_sorted[out_id] if n else np.empty(0, np.int64)
         self.timings["dfs_sweep"] = round(time.time() - t0, 2)
         self.timings["sweep_impl"] = impl
         t0 = time.time()

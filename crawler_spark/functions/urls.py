@@ -122,3 +122,14 @@ def url_slug(url: Column | str) -> Column:
     s = F.regexp_replace(s, r"[^a-z0-9]+", "-")
     s = F.regexp_replace(s, r"^-+|-+$", "")
     return F.when(s == "", "index").otherwise(s)
+
+
+def valid_screenshot_id(name: Column | str) -> Column:
+    """F12 path-traversal / id-validation guard for screenshot serving
+    (app/api/screenshots/[filename]/route.ts:15-17): a filename is
+    valid iff it is non-empty and contains no '..', '/' or '\\'
+    (anything else 400s before touching the filesystem)."""
+    name = F.col(name) if isinstance(name, str) else name
+    return (name.isNotNull() & (name != "")
+            & ~name.contains("..") & ~name.contains("/")
+            & ~name.contains("\\"))

@@ -274,6 +274,84 @@ def detect_parent_components(components: DataFrame) -> DataFrame:
                             ["domain", "page_path", "component_id"], "left"))
 
 
+def uncaptured_modals(detected: DataFrame, captured: DataFrame) -> DataFrame:
+    """J6 modal-vs-captured anti-join (browser-session.ts:4008-4015):
+    a newly detected modal is skipped when the session has already
+    captured one with the same selector AND the same first 50 content
+    characters (`modal_content?.substring(0, 50) || ''`). Null/absent
+    content compares as ''. Shuffles once on the capture key; the
+    captured side is deduplicated before the anti-join."""
+    def preview(col):
+        return F.substring(F.coalesce(col, F.lit("")), 1, 50)
+
+    d = detected.withColumn("content_preview", preview(F.col("content")))
+    c = (captured.select("session_id", "selector",
+                         preview(F.col("content")).alias("content_preview"))
+         .distinct())
+    return d.join(c, ["session_id", "selector", "content_preview"],
+                  "left_anti")
+
+
+def component_monitor(rules: DataFrame, elements: DataFrame) -> DataFrame:
+    """M8 trained-component monitor (browser-session.ts:2934-2997):
+    every poll tick, trained components for the current page are
+    joined against the live visible elements; a (component, instance)
+    enters monitoring on the first visible tick of a presence run
+    ('monitor' — `monitoredElements.set`, :2971-2975) and is cleaned
+    up at the tick after its run ends ('cleanup' — the
+    disappeared-state sweep over `currentIds`, :2979-2991).
+
+    rules is a broadcast dim; elements shuffle once on the monitor key
+    (session, component, instance); run boundaries are window algebra
+    over ticks — the same keyed-state-without-applyInPandasWithState
+    shape as modal_lifecycle."""
+    live = (elements.filter(F.col("visible"))
+            .join(F.broadcast(rules.select("domain", "page_path",
+                                           "selector", "component_id")),
+                  ["domain", "page_path", "selector"])
+            .withColumn("uid",
+                        F.concat(F.col("component_id"), F.lit("_"),
+                                 F.col("instance").cast("string"))))
+    w = Window.partitionBy("session_id", "uid").orderBy("tick")
+    d = (live.withColumn("prev_tick", F.lag("tick").over(w))
+         .withColumn("next_tick", F.lead("tick").over(w)))
+    starts = (d.filter(F.col("prev_tick").isNull()
+                       | (F.col("tick") - F.col("prev_tick") > 1))
+              .select("session_id", "uid", "tick",
+                      F.lit("monitor").alias("event")))
+    cleanups = (d.filter(F.col("next_tick").isNull()
+                         | (F.col("next_tick") - F.col("tick") > 1))
+                .select("session_id", "uid",
+                        (F.col("tick") + 1).alias("tick"),
+                        F.lit("cleanup").alias("event")))
+    return starts.unionByName(cleanups)
+
+
+def delete_trained_components(state: DataFrame,
+                              deletes: DataFrame) -> DataFrame:
+    """SO5 rule delete (app/api/delete-trained-component/route.ts:
+    29-42): the `MERGE … WHEN MATCHED DELETE` half of the rules-store
+    contract. Matching (domain, component_id) rows are dropped; every
+    successful delete call rewrites its domain's rules file with
+    version + 1 (:37), so the surviving rows of a domain carry
+    version + (#distinct components actually deleted there); deletes
+    that match nothing are 404s and bump nothing. The delete-key set
+    is broadcast (API-call sized)."""
+    dkeys = deletes.select("domain", "component_id").distinct()
+    n_del = (state.join(F.broadcast(dkeys), ["domain", "component_id"],
+                        "left_semi")
+             .groupBy("domain")
+             .agg(F.count_distinct("component_id").alias("n_deleted")))
+    kept = state.join(F.broadcast(dkeys), ["domain", "component_id"],
+                      "left_anti")
+    return (kept.join(F.broadcast(n_del), "domain", "left")
+            .withColumn("version",
+                        (F.col("version")
+                         + F.coalesce(F.col("n_deleted"), F.lit(0)))
+                        .cast("long"))
+            .drop("n_deleted"))
+
+
 def merge_site_rules(state: DataFrame, training: DataFrame) -> DataFrame:
     """M4 rules MERGE: upsert trained components keyed by (domain,
     page_path, selector). New keys insert with version 1; existing

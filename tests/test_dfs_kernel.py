@@ -3,7 +3,8 @@
 The sweep is the engine's one sequential step (exact-order contract;
 see crawler_spark/core/dfs_kernel.py) — these tests pin the compiled
 kernel to the Python reference on randomized graphs so the fast path
-can never drift. No Spark involved.
+can never drift. Dense-id contract: nodes are 0..n_nodes-1, dead
+edges carry child id -1. No Spark involved.
 """
 
 from __future__ import annotations
@@ -14,20 +15,20 @@ import pytest
 from crawler_spark.core.dfs_kernel import sweep_c, sweep_py
 
 
-def _random_skeleton(rng, n_nodes, n_edges, n_seeds):
-    """Random (parent, link_index, child) skeleton in CSR form, using
-    arbitrary int64 'hashes' (including negatives) as node ids."""
-    ids = rng.integers(-(2 ** 62), 2 ** 62, size=n_nodes, dtype=np.int64)
-    ids = np.unique(ids)
-    p = ids[rng.integers(0, len(ids), n_edges)]
-    c = ids[rng.integers(0, len(ids), n_edges)]
+def _random_skeleton(rng, n_nodes, n_edges, n_seeds, dead_frac=0.1):
+    """Random (parent, link_index, child) skeleton in CSR form over
+    dense ids 0..n_nodes-1; dead_frac of edges point outside the node
+    table (child id -1)."""
+    p = rng.integers(0, n_nodes, n_edges).astype(np.int32)
+    c = rng.integers(0, n_nodes, n_edges).astype(np.int32)
+    c[rng.random(n_edges) < dead_frac] = -1
     i = rng.integers(0, 50, n_edges).astype(np.int32)
     order = np.lexsort((i, p))
     p, i, c = p[order], i[order], c[order]
     uniq_p, starts = np.unique(p, return_index=True)
-    bounds = np.append(starts, len(p))
-    seeds = ids[rng.integers(0, len(ids), n_seeds)]
-    return c, i, uniq_p, bounds, seeds
+    bounds = np.append(starts, len(p)).astype(np.int64)
+    seeds = rng.integers(0, n_nodes, n_seeds).astype(np.int32)
+    return c, i, uniq_p, bounds, seeds, n_nodes
 
 
 def _assert_same(res_a, res_b):
@@ -42,43 +43,45 @@ def _assert_same(res_a, res_b):
 
 @pytest.fixture(scope="module")
 def c_available():
-    c, i, up, b, s = _random_skeleton(np.random.default_rng(0), 10, 20, 2)
-    if sweep_c(c, i, up, b, s, 3) is None:
+    c, i, up, b, s, nn = _random_skeleton(
+        np.random.default_rng(0), 10, 20, 2)
+    if sweep_c(c, i, up, b, s, nn, 3) is None:
         pytest.skip("no C toolchain in this environment")
 
 
 @pytest.mark.parametrize("seed", [1, 2, 3, 4])
 def test_c_matches_python_random(c_available, seed):
     rng = np.random.default_rng(seed)
-    c, i, up, b, s = _random_skeleton(
+    c, i, up, b, s, nn = _random_skeleton(
         rng, n_nodes=400, n_edges=3000, n_seeds=5)
     for maxd in (0, 1, 3, 8):
-        _assert_same(sweep_c(c, i, up, b, s, maxd),
-                     sweep_py(c, i, up, b, s, maxd))
+        _assert_same(sweep_c(c, i, up, b, s, nn, maxd),
+                     sweep_py(c, i, up, b, s, nn, maxd))
 
 
 def test_c_matches_python_dense(c_available):
     # dense graph: heavy already-claimed skipping + duplicate edges
     rng = np.random.default_rng(99)
-    c, i, up, b, s = _random_skeleton(
+    c, i, up, b, s, nn = _random_skeleton(
         rng, n_nodes=50, n_edges=5000, n_seeds=50)
-    _assert_same(sweep_c(c, i, up, b, s, 6), sweep_py(c, i, up, b, s, 6))
+    _assert_same(sweep_c(c, i, up, b, s, nn, 6),
+                 sweep_py(c, i, up, b, s, nn, 6))
 
 
 def test_python_semantics_tiny():
-    # hand-checked DFS preorder with claim-at-pop: seed 10 visits
-    # 10 → 20 (li 0) → 30 (li 0, via 20) → 40; 30 NOT re-claimed via
-    # 10's li=1 edge; second seed 20 already claimed.
-    #   10 -(0)-> 20, 10 -(1)-> 30, 20 -(0)-> 30, 30 -(0)-> 40
-    p = np.array([10, 10, 20, 30], np.int64)
+    # hand-checked DFS preorder with claim-at-pop: seed 1 visits
+    # 1 → 2 (li 0) → 3 (li 0, via 2) → 4; 3 NOT re-claimed via
+    # 1's li=1 edge; second seed 2 already claimed.
+    #   1 -(0)-> 2, 1 -(1)-> 3, 2 -(0)-> 3, 3 -(0)-> 4
+    p = np.array([1, 1, 2, 3], np.int32)
     i = np.array([0, 1, 0, 0], np.int32)
-    c = np.array([20, 30, 30, 40], np.int64)
+    c = np.array([2, 3, 3, 4], np.int32)
     order = np.lexsort((i, p))
     uniq_p, starts = np.unique(p[order], return_index=True)
-    bounds = np.append(starts, len(p))
+    bounds = np.append(starts, len(p)).astype(np.int64)
     n, h, d, pr, li = sweep_py(c[order], i[order], uniq_p, bounds,
-                               np.array([10, 20], np.int64), 8)
-    assert h.tolist() == [10, 20, 30, 40]
+                               np.array([1, 2], np.int32), 5, 8)
+    assert h.tolist() == [1, 2, 3, 4]
     assert d.tolist() == [0, 1, 2, 3]
     assert pr.tolist() == [-1, 0, 1, 2]
     assert li.tolist() == [-1, 0, 0, 0]
@@ -86,11 +89,24 @@ def test_python_semantics_tiny():
 
 def test_depth_cap_claims_but_does_not_expand():
     # at max_depth the node is claimed but its children are not pushed
-    p = np.array([1, 2], np.int64)
+    p = np.array([1, 2], np.int32)
     i = np.array([0, 0], np.int32)
-    c = np.array([2, 3], np.int64)
+    c = np.array([2, 3], np.int32)
     uniq_p, starts = np.unique(p, return_index=True)
-    bounds = np.append(starts, len(p))
+    bounds = np.append(starts, len(p)).astype(np.int64)
     n, h, d, pr, li = sweep_py(c, i, uniq_p, bounds,
-                               np.array([1], np.int64), 1)
+                               np.array([1], np.int32), 4, 1)
     assert h.tolist() == [1, 2]  # 3 is beyond the depth cap
+
+
+def test_dead_edges_skipped():
+    # id -1 children (outside the node table) are never claimed
+    p = np.array([0, 0], np.int32)
+    i = np.array([0, 1], np.int32)
+    c = np.array([-1, 1], np.int32)
+    uniq_p = np.array([0], np.int32)
+    bounds = np.array([0, 2], np.int64)
+    n, h, d, pr, li = sweep_py(c, i, uniq_p, bounds,
+                               np.array([0], np.int32), 2, 8)
+    assert h.tolist() == [0, 1]
+    assert li.tolist() == [-1, 1]

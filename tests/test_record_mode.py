@@ -287,3 +287,101 @@ def test_rules_merge_batches(spark):
            for r in cur.collect()}
     assert got == oracle
     assert max(v[2] for v in got.values()) >= 2  # real upserts happened
+
+
+# ---------------------------------------------------------------------------
+# J6 / M8 / SO5 / F12 (round-2 additions)
+# ---------------------------------------------------------------------------
+
+def test_uncaptured_modals_anti_join(spark):
+    """J6: detected modals already captured with the same selector and
+    content[:50] are skipped; null content compares as ''."""
+    from crawler_spark.streaming.record_mode import uncaptured_modals
+
+    detected = spark.createDataFrame(
+        [("s1", "div.m", 1, "A" * 60),       # matches captured prefix
+         ("s1", "div.m", 2, "A" * 50 + "ZZ"),  # same 50-char preview
+         ("s1", "div.m", 3, "B" * 10),       # new content
+         ("s1", "div.x", 4, "A" * 60),       # same content, new selector
+         ("s2", "div.m", 5, "A" * 60),       # same modal, other session
+         ("s1", "div.n", 6, None),           # null content
+         ("s1", "div.o", 7, None)],          # null vs captured ''
+        "session_id string, selector string, modal_id long, content string")
+    captured = spark.createDataFrame(
+        [("s1", "div.m", "A" * 55),
+         ("s1", "div.n", "C"),
+         ("s1", "div.o", "")],
+        "session_id string, selector string, content string")
+    got = {r["modal_id"]
+           for r in uncaptured_modals(detected, captured).collect()}
+    assert got == {3, 4, 5, 6}
+
+
+def test_component_monitor_runs(spark):
+    """M8: monitor starts at each presence-run begin, cleanup fires at
+    the tick after the run ends (disappeared-state sweep)."""
+    from crawler_spark.streaming.record_mode import component_monitor
+
+    rules = spark.createDataFrame(
+        [("d0", "/p", "s0", "c0"), ("d0", "/p", "s0", "c9")],
+        "domain string, page_path string, selector string, "
+        "component_id string")
+    rows = [
+        # instance 0: run ticks 1-3, then gap, run 6
+        ("u1", "d0", "/p", "s0", 0, True, 1),
+        ("u1", "d0", "/p", "s0", 0, True, 2),
+        ("u1", "d0", "/p", "s0", 0, True, 3),
+        ("u1", "d0", "/p", "s0", 0, True, 6),
+        # invisible tick does not extend a run
+        ("u1", "d0", "/p", "s0", 0, False, 4),
+        # instance 1: single tick
+        ("u1", "d0", "/p", "s0", 1, True, 2),
+        # unmatched selector: ignored
+        ("u1", "d0", "/p", "sX", 0, True, 1),
+    ]
+    elements = spark.createDataFrame(
+        rows, "session_id string, domain string, page_path string, "
+              "selector string, instance int, visible boolean, tick long")
+    got = {(r["uid"], r["tick"], r["event"])
+           for r in component_monitor(rules, elements).collect()}
+    exp = set()
+    for comp in ("c0", "c9"):  # both rules share the selector
+        exp |= {(f"{comp}_0", 1, "monitor"), (f"{comp}_0", 4, "cleanup"),
+                (f"{comp}_0", 6, "monitor"), (f"{comp}_0", 7, "cleanup"),
+                (f"{comp}_1", 2, "monitor"), (f"{comp}_1", 3, "cleanup")}
+    assert got == exp
+
+
+def test_delete_trained_components(spark):
+    """SO5: matched rows removed, the domain version bumps once per
+    successfully deleted component, misses are 404-silent."""
+    from crawler_spark.streaming.record_mode import delete_trained_components
+
+    state = spark.createDataFrame(
+        [("d0", "c1", "s1", 3), ("d0", "c2", "s2", 3),
+         ("d0", "c3", "s3", 3), ("d1", "c1", "s1", 7)],
+        "domain string, component_id string, selector string, version long")
+    deletes = spark.createDataFrame(
+        [("d0", "c1"), ("d0", "c2"), ("d0", "c2"),   # dup request
+         ("d0", "cMISS"), ("d2", "c1")],             # 404s
+        "domain string, component_id string")
+    got = {(r["domain"], r["component_id"], r["version"])
+           for r in delete_trained_components(state, deletes).collect()}
+    assert got == {("d0", "c3", 5),   # 3 + 2 deleted in d0
+                   ("d1", "c1", 7)}   # untouched domain
+
+
+def test_valid_screenshot_id(spark):
+    """F12: empty / '..' / '/' / '\\' filenames are rejected."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.urls import valid_screenshot_id
+
+    rows = [("shot-1.png", True), ("a..b", False), ("", False),
+            ("dir/x.png", False), ("c:\\win\\x", False),
+            ("UPPER_case-9.jpeg", True), (None, False)]
+    df = spark.createDataFrame([(n,) for n, _ in rows], "name string")
+    got = [bool(r["ok"]) for r in df.select(
+        F.coalesce(valid_screenshot_id(F.col("name")),
+                   F.lit(False)).alias("ok")).collect()]
+    assert got == [ok for _, ok in rows]
