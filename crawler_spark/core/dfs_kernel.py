@@ -112,6 +112,24 @@ int64_t dfs_sweep_dense(
     free(rank_of); free(csr_of); free(st);
     return rank;
 }
+
+/* dictionary-encode int64 keys against a sorted table: out[k] = index
+   of keys[k] in table, or -1 when absent. Called from Python threads
+   over chunks — ctypes releases the GIL for the duration of the call,
+   so the encode scales with cores (np.searchsorted holds the GIL). */
+void encode_ids(int64_t n, const int64_t *keys, int64_t n_nodes,
+                const int64_t *table, int32_t *out)
+{
+    for (int64_t k = 0; k < n; k++) {
+        int64_t key = keys[k];
+        int64_t lo = 0, hi = n_nodes;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) >> 1;
+            if (table[mid] < key) lo = mid + 1; else hi = mid;
+        }
+        out[k] = (lo < n_nodes && table[lo] == key) ? (int32_t)lo : -1;
+    }
+}
 """
 
 _lib = None
@@ -159,6 +177,9 @@ def _load_lib():
             ctypes.c_int64, i32p, ctypes.c_int32,
             ctypes.c_int64,
             i32p, i32p, i64p, i32p]
+        lib.encode_ids.restype = None
+        lib.encode_ids.argtypes = [ctypes.c_int64, i64p,
+                                   ctypes.c_int64, i64p, i32p]
         _lib = lib
     except Exception:  # noqa: BLE001 — no cc / sandboxed: fall back
         _lib = None
@@ -239,6 +260,46 @@ def sweep_py(c_sorted, i_sorted, uniq_p, starts, seeds, n_nodes, max_depth):
     n = len(out_id)
     return (n, np.array(out_id, np.int32), np.array(out_depth, np.int32),
             np.array(out_parent, np.int64), np.array(out_li, np.int32))
+
+
+def encode_ids(keys, table, n_threads: int = 16):
+    """Vectorized dictionary-encode: positions of int64 `keys` in the
+    sorted int64 `table`, -1 for misses. C kernel + thread-chunked
+    (ctypes drops the GIL per call) when a toolchain exists;
+    np.searchsorted fallback otherwise. Contract pinned against the
+    numpy path in tests."""
+    keys = np.ascontiguousarray(keys, np.int64)
+    table = np.ascontiguousarray(table, np.int64)
+    n, n_nodes = len(keys), len(table)
+    out = np.empty(n, np.int32)
+    if n == 0:
+        return out
+    if n_nodes == 0:
+        out.fill(-1)
+        return out
+    lib = _load_lib()
+    if lib is None:
+        pos = np.minimum(np.searchsorted(table, keys), n_nodes - 1)
+        return np.where(table[pos] == keys, pos, -1).astype(np.int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+
+    def enc(lo, hi):
+        lib.encode_ids(
+            hi - lo,
+            keys[lo:hi].ctypes.data_as(i64p),
+            n_nodes, table.ctypes.data_as(i64p),
+            out[lo:hi].ctypes.data_as(i32p))
+
+    chunk = max(1 << 18, n // (n_threads * 4) + 1)
+    spans = [(lo, min(lo + chunk, n)) for lo in range(0, n, chunk)]
+    if len(spans) == 1:
+        enc(*spans[0])
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(n_threads, len(spans))) as ex:
+            list(ex.map(lambda s: enc(*s), spans))
+    return out
 
 
 def sweep(c_sorted, i_sorted, uniq_p, starts, seeds, n_nodes, max_depth):

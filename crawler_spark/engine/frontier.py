@@ -55,6 +55,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types
 
 from ..functions.urls import canonicalize_url, url_hash, url_host, url_path
 from .config import PRIO_WIDTH, CrawlConfig, prio_component
@@ -105,41 +106,76 @@ def admit(df: DataFrame, url_col: str, robots: DataFrame,
 # link extraction (E2/E5 + F8/F9/F10) as native expressions
 # ---------------------------------------------------------------------------
 
-def extract_edges(pages: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    """fetched pages → candidate call edges (parent_url, child_url
-    canonical, link_index). Tag filter at extraction time
-    (crawler-engine.ts:1505,1528,1547), THEN sample slice
-    (:667-671), then hygiene + root-relative resolution
-    (browser-session.ts:3262). Pages with status 0 (timeout) emit
-    nothing — the reference's goto throw aborts extraction."""
+def extract_round(pages: DataFrame, robots: DataFrame,
+                  allowed_hosts: list[str], cfg: CrawlConfig) -> DataFrame:
+    """Fused fetch-output pass: ONE generator over the joined
+    (batch ⋈ web) rows yields, per page, a `kind='page'` marker row
+    (status/title/images — the old `fetched` table) AND the admitted
+    `kind='edge'` child rows (the old `extract_edges`+`admit` output).
+    Fusing removes a full materialize+re-read of the links arrays and
+    one Spark job per round — the per-round fixed cost is the scaling
+    -efficiency denominator.
+
+    Trick: prepend one null element to the (tag-filtered, sampled)
+    links array, then a single posexplode emits pos=0 → page row,
+    pos≥1 → link row. Admission (scheme/domain/robots, reference
+    crawler-engine.ts:1368-1412) filters only the link rows; page
+    rows always survive. Robots is a broadcast dim keyed on the
+    CHILD host."""
     tags = F.array(*[F.lit(t) for t in cfg.follow_link_tags])
-    links = F.filter("links", lambda l: F.array_contains(tags, l["element_type"]))
+    links = F.filter("links",
+                     lambda l: F.array_contains(tags, l["element_type"]))
     if cfg.sample_mode:
         links = F.slice(links, 1, 1)
-    depth_cols = (["depth"] if "depth" in pages.columns else [])
-    e = (
-        pages.filter(F.col("status_code") != 0)
-        .select(F.col("url").alias("parent_url"), *depth_cols,
-                F.regexp_extract("url", r"^(https?://[^/]+)", 1).alias("origin"),
-                F.explode(links).alias("l"))
-        .select(
-            "parent_url", *depth_cols,
-            F.col("l.link_index").alias("link_index"),
-            F.trim(F.col("l.href")).alias("href"),
-            "origin",
-        )
-        .withColumn(
-            "abs_url",
-            F.when(F.col("href").rlike(r"^[hH][tT][tT][pP][sS]?://"), F.col("href"))
-            .when(F.col("href").startswith("/"),
-                  F.concat(F.col("origin"), F.col("href")))
-            .otherwise(F.lit(None)),
-        )
-        .filter(F.col("abs_url").isNotNull())
-        .select("parent_url", *depth_cols, "link_index",
-                canonicalize_url(F.col("abs_url")).alias("child_url"))
-    )
-    return e
+    # status 0 (timeout) aborts extraction (goto throw, :1704) and a
+    # null title means no parse — such pages emit ONLY their marker.
+    # The null sentinel element is typed from the data's own links
+    # schema (fixture link structs can carry extra provenance fields).
+    elem_dt = pages.schema["links"].dataType.elementType
+    links = F.when((F.col("status_code") != 0)
+                   & F.col("title").isNotNull(),
+                   links).otherwise(
+        F.array().cast(types.ArrayType(elem_dt)))
+    marked = F.concat(F.array(F.lit(None).cast(elem_dt)), links)
+    e = pages.select(
+        F.col("url").alias("parent_url"), "depth", "host", "status_code",
+        "title", "images",
+        F.regexp_extract("url", r"^(https?://[^/]+)", 1).alias("origin"),
+        F.posexplode(marked).alias("pos", "l"))
+    href = F.trim(F.col("l.href"))
+    abs_url = (
+        F.when(href.rlike(r"^[hH][tT][tT][pP][sS]?://"), href)
+        .when(href.startswith("/"), F.concat(F.col("origin"), href))
+        .otherwise(F.lit(None)))
+    child = canonicalize_url(abs_url)
+    e = (e.withColumn("child_url",
+                      F.when(F.col("pos") > 0, child))
+         .withColumn("child_host", url_host(F.col("child_url")))
+         .withColumn("child_path", url_path(F.col("child_url"))))
+    ok = F.col("child_url").rlike(r"^https?://[^/?#]+")
+    if cfg.restrict_domains:
+        hosts = F.array(*[F.lit(h) for h in sorted(allowed_hosts)])
+        ok = ok & F.exists(hosts, lambda a: (F.col("child_host") == a) | (
+            F.col("child_host").endswith(F.concat(F.lit("."), a))
+            if cfg.include_subdomains else F.lit(False)))
+    e = e.join(F.broadcast(robots.select(
+        F.col("host").alias("child_host"), "disallow_prefixes")),
+        "child_host", "left")
+    blocked = F.when(
+        F.col("disallow_prefixes").isNotNull(),
+        F.exists("disallow_prefixes",
+                 lambda p: (p != "") & F.col("child_path").startswith(p)),
+    ).otherwise(F.lit(False))  # allow-all when robots missing (:481-485)
+    return (e.filter((F.col("pos") == 0) | (ok & ~blocked))
+            .select(
+                F.when(F.col("pos") == 0, "page").otherwise("edge")
+                .alias("kind"),
+                "parent_url", "depth", "host", "status_code",
+                F.when(F.col("pos") == 0, F.col("title")).alias("title"),
+                F.when(F.col("pos") == 0, F.col("images")).alias("images"),
+                F.when(F.col("pos") == 0, F.lit(-1))
+                .otherwise(F.col("l.link_index")).alias("link_index"),
+                "child_url", "child_host"))
 
 
 # ---------------------------------------------------------------------------
@@ -406,37 +442,33 @@ class FrontierEngine:
                 fetched = bsel.join(web_slim, "url", "inner")
             fetched = fetched.select("url", "depth", "host", "status_code",
                                      "title", "links", "images")
-            fetched.write.mode("overwrite").parquet(self._paths("fetched", rnd))
-            fetched = self.spark.read.parquet(self._paths("fetched", rnd))
-            tick("fetch")
-
-            # balance BEFORE the hot stage: explode+canonicalize over
-            # the links arrays is the per-round CPU hot spot, and the
-            # fetched files are byte-light (snappy ~5-10x) — an
-            # explicit repartition of the page rows guarantees the
-            # heavy work fans out to every core no matter what split
-            # count the scan produced (repartitioning the *output*
-            # instead left the canonicalization on 1-2 tasks).
+            # fused fetch+extract+admit: the join output feeds ONE
+            # generator pass producing page-marker rows (kind=page,
+            # the old `fetched` table) and admitted child edges
+            # (kind=edge) in a single write — no materialize+re-read
+            # of the links arrays, one Spark job instead of two.
+            # Parallelism comes from the join output's partitioning
+            # (scan splits / buckets / shuffle partitions), so the
+            # explode+canonicalize hot stage fans out to every core.
             # Admission (scheme/domain/robots on the child url) is
-            # applied HERE, fused into the same stage (broadcast
-            # robots join + native predicates, no shuffle): the
-            # checkpointed edge set is then admissible-by-
+            # fused in (broadcast robots join + native predicates, no
+            # shuffle): the checkpointed edge set is admissible-by-
             # construction, so neither the candidate step below nor
             # the resolve phase re-scans 10^10 edge strings through
             # the admission regexes a second time.
-            par = self.spark.sparkContext.defaultParallelism
-            edges = extract_edges(
-                fetched.filter(F.col("title").isNotNull())
-                .repartition(par), self.cfg)
-            edges = (admit(edges.withColumnRenamed("child_url", "url"),
-                           "url", self.robots, self.allowed_hosts,
-                           self.cfg)
-                     .select("parent_url", "depth", "link_index",
-                             F.col("url").alias("child_url"),
-                             F.col("host").alias("child_host")))
-            edges.write.mode("overwrite").parquet(self._paths("edges", rnd))
-            edges = self.spark.read.parquet(self._paths("edges", rnd))
-            tick("edges")
+            combined = extract_round(fetched, self.robots,
+                                     self.allowed_hosts, self.cfg)
+            (combined.write.mode("overwrite").partitionBy("kind")
+             .parquet(self._paths("crawl", rnd)))
+            edge_dir = os.path.join(self._paths("crawl", rnd), "kind=edge")
+            if os.path.isdir(edge_dir):
+                edges = self.spark.read.parquet(edge_dir)
+            else:  # round fetched pages but admitted no links
+                edges = self.spark.createDataFrame(
+                    [], "parent_url string, depth int, host string, "
+                        "status_code int, title string, link_index int, "
+                        "child_url string, child_host string")
+            tick("fetch_extract")
 
             # candidate admission for the NEXT frontier (BFS depth
             # cap). Parent depth rides along on the edge rows, so no
@@ -526,12 +558,14 @@ class FrontierEngine:
             # per-round metrics + per-partition lineage straight from
             # the parquet footers (no Spark job; one footer per
             # written partition, counts sum to the edge total)
-            part_counts = self._footer_rows(self._paths("edges", rnd))
+            part_counts = self._footer_rows(
+                os.path.join(self._paths("crawl", rnd), "kind=edge"))
             n_edges = sum(part_counts.values())
             # actual fetched rows (dead links produce no fetched row
             # under the inner-join fetch, so fetched < scheduled)
-            n_fetched = sum(
-                self._footer_rows(self._paths("fetched", rnd)).values())
+            n_fetched = sum(self._footer_rows(
+                os.path.join(self._paths("crawl", rnd),
+                             "kind=page")).values())
             tick("lineage")
             metrics = dict(round=rnd, scheduled=n_batch, fetched=n_fetched,
                            edges=n_edges,
@@ -576,7 +610,8 @@ class FrontierEngine:
         # into the explore-side edge write — scheme/domain/robots run
         # exactly once per edge, there), so resolve needs no second
         # pass through the admission regexes.
-        edges = (self.spark.read.parquet(self._paths("edges"))
+        edges = (self.spark.read.parquet(self._paths("crawl"))
+                 .filter(F.col("kind") == "edge")
                  .select("parent_url", "link_index", "child_url"))
         seeds = self.seed_claims().localCheckpoint()
         if strategy == "skeleton":
@@ -710,10 +745,12 @@ class FrontierEngine:
         # the DFS can never claim them either: dead edges, id -1.
         n_nodes = len(node_sorted)
         if n_nodes:
-            pos = np.minimum(np.searchsorted(node_sorted, c_sorted),
-                             n_nodes - 1)
-            c_id = np.where(node_sorted[pos] == c_sorted,
-                            pos, -1).astype(np.int32)
+            from ..core.dfs_kernel import encode_ids
+
+            # C bsearch in GIL-free thread chunks (np.searchsorted was
+            # 11-15 s single-threaded at ~40M edges — the largest
+            # serial resolve step after the sweep itself)
+            c_id = encode_ids(c_sorted, node_sorted)
             p_pos = np.minimum(np.searchsorted(node_sorted, uniq_p),
                                n_nodes - 1)
             p_found = node_sorted[p_pos] == uniq_p
@@ -874,8 +911,10 @@ class FrontierEngine:
         never-materialized URLs are 404s (dead links — fetched as
         absent)."""
         cfg = self.cfg
-        fetched = (self.spark.read.parquet(self._paths("fetched"))
-                   .select("url", "status_code").distinct())
+        fetched = (self.spark.read.parquet(self._paths("crawl"))
+                   .filter(F.col("kind") == "page")
+                   .select(F.col("parent_url").alias("url"),
+                           "status_code").distinct())
         visits = (claims.join(fetched, "url", "left")
                   .withColumn("status_code",
                               F.coalesce("status_code", F.lit(404)))
@@ -930,10 +969,12 @@ class FrontierEngine:
     def image_refs(self, visits: DataFrame) -> DataFrame:
         """(page_url, src, caption) for visited, extracted pages —
         the rows that join to the image+caption byte table (E3)."""
-        fetched = self.spark.read.parquet(self._paths("fetched"))
+        fetched = (self.spark.read.parquet(self._paths("crawl"))
+                   .filter(F.col("kind") == "page"))
         pages = (fetched.filter(F.col("title").isNotNull() &
                                 (F.col("status_code") != 0))
-                 .select("url", "images").distinct()
+                 .select(F.col("parent_url").alias("url"), "images")
+                 .distinct()
                  .join(visits.select("url"), "url"))
         return (pages.select(F.col("url").alias("page_url"),
                              F.explode("images").alias("im"))

@@ -219,7 +219,8 @@ def test_politeness_enforcement(spark, tmp_path):
 
     robots = {r["host"]: r["crawl_delay_ms"]
               for r in eng.robots.select("host", "crawl_delay_ms").collect()}
-    fetched = spark.read.parquet(os.path.join(ck, "fetched"))
+    fetched = (spark.read.parquet(os.path.join(ck, "crawl"))
+               .filter(F.col("kind") == "page"))
     per_round = (fetched.groupBy("round", "host").agg(F.count("*").alias("n"))
                  .collect())
     for r in per_round:

@@ -99,6 +99,23 @@ def test_depth_cap_claims_but_does_not_expand():
     assert h.tolist() == [1, 2]  # 3 is beyond the depth cap
 
 
+def test_encode_ids_matches_searchsorted():
+    rng = np.random.default_rng(7)
+    table = np.unique(rng.integers(-(2**62), 2**62, 5000, dtype=np.int64))
+    keys = np.concatenate([
+        rng.choice(table, 200_000),                      # hits
+        rng.integers(-(2**62), 2**62, 200_000, dtype=np.int64),  # mostly miss
+        table[:1], table[-1:],                            # boundaries
+    ])
+    from crawler_spark.core.dfs_kernel import encode_ids
+    got = encode_ids(keys, table)
+    pos = np.minimum(np.searchsorted(table, keys), len(table) - 1)
+    exp = np.where(table[pos] == keys, pos, -1).astype(np.int32)
+    np.testing.assert_array_equal(got, exp)
+    assert encode_ids(keys[:0], table).shape == (0,)
+    assert (encode_ids(keys[:5], table[:0]) == -1).all()
+
+
 def test_dead_edges_skipped():
     # id -1 children (outside the node table) are never claimed
     p = np.array([0, 0], np.int32)
