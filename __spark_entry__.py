@@ -480,6 +480,51 @@ def q_screenshot_serve(spark, sf_dir):
                     .otherwise(F.lit(200)).cast("long").alias("status")))
 
 
+def q_extract_page(spark, sf_dir):
+    """E1/E2/E5/E14: the raw-HTML parse stage end-to-end. HTML is
+    synthesized deterministically from `part` columns, parsed by the
+    distributed mapInPandas stage
+    (crawler_spark.operators.html_parse), and the oracle recomputes
+    every extracted field directly from the same columns — verifying
+    link provenance, the internal/external partition with
+    onclick/data-url mining, selector synthesis, heading/image/form
+    extraction and CSS url() absolutization value-for-value."""
+    from crawler_spark.operators.html_parse import parse_pages
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey").cast("string")
+    base = F.concat(F.lit("http://h"), (F.col("p_partkey") % 7)
+                    .cast("string"), F.lit(".example.com/page/"), k)
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("p_name"), F.lit("</title>"),
+        F.lit('<style>a{background:url("/b.png")}</style></head><body>'),
+        F.lit("<h1>H-"), k, F.lit("</h1>"),
+        F.lit('<a href="/p/'), k,
+        F.lit('" class="x" data-x="3" data-y="4">go</a>'),
+        F.lit('<a href="http://ext.example.com/'), k, F.lit('">out</a>'),
+        F.lit("<button class=\"b\" onclick=\"location.href='/buy/"), k,
+        F.lit("'\">Buy</button>"),
+        F.lit('<div data-url="/mined/'), k, F.lit('" onclick="x()">m</div>'),
+        F.lit('<img src="/i/'), k, F.lit('.png" alt="cap '), k, F.lit('">'),
+        F.lit('<form action="/submit" method="post">'
+              '<input name="q"></form></body></html>'))
+    out = parse_pages(p.select("p_partkey", base.alias("url"),
+                               html.alias("html")))
+    return out.select(
+        "p_partkey", "title",
+        F.size("links").cast("long").alias("n_links"),
+        F.col("links")[0]["href"].alias("first_href"),
+        F.col("links")[0]["selector"].alias("first_selector"),
+        F.col("links")[0]["pos_x"].cast("long").alias("first_x"),
+        F.col("links")[2]["selector"].alias("btn_selector"),
+        F.col("links")[2]["href"].alias("btn_href"),
+        F.size("headings").cast("long").alias("n_headings"),
+        F.array_join("internal_urls", ",").alias("internal"),
+        F.array_join("external_urls", ",").alias("external"),
+        "css",
+        F.col("images")[0]["alt"].alias("img_alt"),
+        F.col("forms")[0]["method"].alias("form_method"))
+
+
 def q_parent_components(spark, sf_dir):
     """M7: parent-component detection via DOM node-path prefix
     containment (nearest containing ancestor wins)."""
@@ -554,9 +599,10 @@ def q_content_diff(spark, sf_dir):
 def q_screenshot_dedup(spark, sf_dir):
     """ST4: keyed-state screenshot dedup — previous-KEPT 3 s window
     chain per (session, component, reason), grouped applyInPandas
-    (sequential within key, parallel across keys). No SQL oracle: the
-    kept-chain recurrence isn't expressible in one SQL pass; semantics
-    pinned by tests/test_record_mode.py."""
+    (sequential within key, parallel across keys). DuckDB oracle: the
+    kept-chain recurrence as a per-key recursive CTE (one recursion
+    step per row rank); semantics also pinned by
+    tests/test_record_mode.py."""
     from crawler_spark.streaming.record_mode import dedup_screenshots
     e = _t(spark, sf_dir, "events")
     shots = e.select(
@@ -680,10 +726,15 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_lsh_ann(spark, sf_dir):
+    """LSH ANN with a FULL DuckDB oracle: the deterministic ±1
+    hyperplanes are inlined into the SQL as literals, the bucket is
+    the same 8-bit sign pattern, cosine is the same sequential double
+    fold, and scores are integerized (floor(cos·10⁴+0.5)) on both
+    sides so ordering and value hashes are engine-independent."""
     emb = _t(spark, sf_dir, "embeddings")
     return (lsh_bucketed_neighbors(emb, k=5)
             .select("qid", "nid", F.col("rank").cast("long").alias("rank"),
-                    "cosine"))
+                    "cos_e4"))
 
 
 def q_ivf_ann(spark, sf_dir):
@@ -695,7 +746,7 @@ def q_ivf_ann(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return (ivf_topk(emb, k=5, n_centroids=16, nprobe=4)
             .select("qid", "nid", F.col("rank").cast("long").alias("rank"),
-                    "cosine"))
+                    "cos_e4"))
 
 
 # ---------------------------------------------------------------------------
@@ -730,7 +781,15 @@ def q_image_phash_dedup(spark, sf_dir):
 
 
 def q_image_thumbnail(spark, sf_dir):
-    return thumbnail(_images(spark)).select("image_id", "mean_luma")
+    """Thumbnail stage with a real oracle: the fixture precomputes
+    each image's 16x16-box mean luma at generation time (from the
+    decoded bytes, core.imaging.mean_luma_16), so DuckDB verifies the
+    distributed decode→resize→luma path value-for-value."""
+    return (thumbnail(_images(spark))
+            .select("image_id",
+                    F.col("thumb_w").cast("long").alias("thumb_w"),
+                    F.col("thumb_h").cast("long").alias("thumb_h"),
+                    "mean_luma"))
 
 
 def q_audio_features(spark, sf_dir):
@@ -739,9 +798,13 @@ def q_audio_features(spark, sf_dir):
     no audio libs in this container; the Spark-side shape is real)."""
     payload = _images(spark).select(F.col("image_id").alias("sample_id"),
                                     "bytes")
+    # driver output restricted to the metadata-checkable column
+    # (n_samples = payload bytes as int8 samples); the rms/peak math
+    # is pinned by tests/test_images.py — DuckDB 1.0 cannot index
+    # into BLOBs, so it cannot recompute a byte-wise rms
     return (audio_features(payload)
-            .select("sample_id", F.col("n_samples").cast("long")
-                    .alias("n_samples"), "rms"))
+            .select("sample_id",
+                    F.col("n_samples").cast("long").alias("n_samples")))
 
 
 def q_frame_sample(spark, sf_dir):
@@ -800,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # record-mode / HTML families (§2.8-2.9) + the engine itself
         "modal_lifecycle": q_modal_lifecycle,
         "rules_merge": q_rules_merge,
+        "extract_page": q_extract_page,
         "uncaptured_modals": q_uncaptured_modals,
         "component_monitor": q_component_monitor,
         "rules_delete": q_rules_delete,
@@ -885,6 +949,38 @@ FROM inter
 JOIN sz sa ON sa.doc_id = id_a
 JOIN sz sb ON sb.doc_id = id_b
 WHERE common / (sa.sz + sb.sz - common) >= {threshold}
+"""
+
+
+def _lsh_ann_oracle() -> str:
+    """DuckDB twin of lsh_bucketed_neighbors: the deterministic ±1
+    hyperplanes are inlined as literals (they derive from xxhash64 of
+    fixed strings — same values everywhere), the bucket is the same
+    8-bit sign fold, and the score is the engine-independent
+    floor(cos·10⁴+0.5) integerization."""
+    from crawler_spark.operators.similarity import _hyperplane
+
+    bits = []
+    for p in range(8):
+        plane = ", ".join(str(x) for x in _hyperplane(64, p))
+        bits.append(f"(CASE WHEN list_dot_product(v, [{plane}]) >= 0 "
+                    f"THEN {1 << (7 - p)} ELSE 0 END)")
+    bucket = "\n     + ".join(bits)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+p AS (
+  SELECT a.vec_id AS qid, c.vec_id AS nid,
+         CAST(floor(list_dot_product(a.v, c.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(c.v, c.v))) * 10000 + 0.5)
+              AS BIGINT) AS cos_e4
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id != c.vec_id),
+r AS (SELECT qid, nid, cos_e4,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_e4 DESC, nid) AS rank
+      FROM p)
+SELECT qid, nid, CAST(rank AS BIGINT) AS rank, cos_e4 FROM r WHERE rank <= 5
 """
 
 
@@ -1115,6 +1211,27 @@ SELECT s.domain, s.page_path, s.selector, s.component_id, s.classes,
        s.version
 FROM state s ANTI JOIN batch b USING (domain, page_path, selector)
 """,
+        "extract_page": """
+SELECT p_partkey, p_name AS title,
+       CAST(3 AS BIGINT) AS n_links,
+       '/p/' || p_partkey AS first_href,
+       'a.x' AS first_selector,
+       CAST(3 AS BIGINT) AS first_x,
+       'button.b' AS btn_selector,
+       '/buy/' || p_partkey AS btn_href,
+       CAST(1 AS BIGINT) AS n_headings,
+       'http://h' || (p_partkey % 7) || '.example.com/p/' || p_partkey
+         || ',http://h' || (p_partkey % 7) || '.example.com/buy/'
+         || p_partkey
+         || ',http://h' || (p_partkey % 7) || '.example.com/mined/'
+         || p_partkey AS internal,
+       'http://ext.example.com/' || p_partkey AS external,
+       'a{background:url(''http://h' || (p_partkey % 7)
+         || '.example.com/b.png'')}' AS css,
+       'cap ' || p_partkey AS img_alt,
+       'post' AS form_method
+FROM part
+""",
         "uncaptured_modals": """
 WITH cap AS (
   SELECT DISTINCT user_id AS session_id, event_type AS selector,
@@ -1311,13 +1428,58 @@ SELECT image_id,
        round(octet_length(bytes) / (w * h), 6) AS bytes_per_pixel
 FROM read_parquet('{_IMG_FIXTURES}')
 """,
-        # minhash_lsh / simhash_pairs / winnow / lsh_ann / ivf_ann /
-        # image_* :
-        # hash-seeded or pixel-level ops DuckDB can't replicate —
+        "screenshot_dedup": """
+WITH RECURSIVE shots AS (
+  SELECT user_id AS session_id, event_type AS component_id,
+         'r' || (event_id % 2) AS reason, ts, event_id AS shot_id,
+         epoch_ms(ts) AS ms
+  FROM events),
+ordered AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY session_id, component_id, reason
+      ORDER BY ts, shot_id) AS rn
+  FROM shots),
+chain AS (
+  SELECT session_id, component_id, reason, rn, ms AS kept_ms,
+         shot_id, TRUE AS kept
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.session_id, o.component_id, o.reason, o.rn,
+         CASE WHEN o.ms - c.kept_ms > 3000 THEN o.ms ELSE c.kept_ms END,
+         o.shot_id, o.ms - c.kept_ms > 3000
+  FROM ordered o JOIN chain c
+    ON o.session_id = c.session_id AND o.component_id = c.component_id
+   AND o.reason = c.reason AND o.rn = c.rn + 1)
+SELECT shot_id FROM chain WHERE kept
+""",
+        "lsh_ann": _lsh_ann_oracle(),
+        "image_decode": f"""
+SELECT fmt, count(*) AS n, count(*) AS n_valid
+FROM read_parquet('{_IMG_FIXTURES}') GROUP BY fmt
+""",
+        "image_thumbnail": f"""
+SELECT image_id, CAST(16 AS BIGINT) AS thumb_w,
+       CAST(16 AS BIGINT) AS thumb_h, mean_luma
+FROM read_parquet('{_IMG_FIXTURES}')
+""",
+        "audio_features": f"""
+SELECT image_id AS sample_id, CAST(octet_length(bytes) AS BIGINT)
+           AS n_samples
+FROM read_parquet('{_IMG_FIXTURES}')
+""",
+        "frame_sample": f"""
+SELECT image_id AS video_id,
+       CAST(ceil((octet_length(bytes) // 64) / 10.0) AS BIGINT) AS n_frames
+FROM read_parquet('{_IMG_FIXTURES}')
+WHERE octet_length(bytes) >= 64
+""",
+        # minhash_lsh / simhash_pairs / winnow / ivf_ann:
+        # hash-seeded chains DuckDB can't replicate bit-exactly
+        # (xxhash64-banded minhash digests, simhash token lanes,
+        # winnowing window argmins, Lloyd-iterated centroids) —
         # rows-only checks; semantics pinned by pytest oracles instead
         # (tests/test_dedup_text.py, tests/test_images.py).
-        # screenshot_dedup / frontier_crawl: sequential keyed-state /
-        # exact-DFS semantics with no single-pass SQL equivalent —
-        # rows-only checks; pinned row-for-row by
-        # tests/test_record_mode.py and tests/test_crawl_golden.py.
+        # frontier_crawl: exact-DFS crawl order is sequential
+        # semantics with no SQL equivalent — pinned row-for-row by
+        # tests/test_crawl_golden.py.
     }

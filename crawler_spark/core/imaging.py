@@ -224,6 +224,37 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
 
 
+def avgpool_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic box-filter resize (pure numpy — the real
+    transform, no codec needed). Shared by the thumbnail operator and
+    the fixture generator (which precomputes thumbnail stats as the
+    driver-oracle column)."""
+    h, w, c = px.shape
+    ys = (np.arange(out_h + 1) * h // out_h).clip(0, h)
+    xs = (np.arange(out_w + 1) * w // out_w).clip(0, w)
+    out = np.empty((out_h, out_w, c), np.float64)
+    csum = np.zeros((h + 1, w + 1, c))
+    csum[1:, 1:] = px.astype(np.float64).cumsum(0).cumsum(1)
+    for yi in range(out_h):
+        y0, y1 = ys[yi], max(ys[yi + 1], ys[yi] + 1)
+        for xi in range(out_w):
+            x0, x1 = xs[xi], max(xs[xi + 1], xs[xi] + 1)
+            area = (y1 - y0) * (x1 - x0)
+            out[yi, xi] = (csum[y1, x1] - csum[y0, x1]
+                           - csum[y1, x0] + csum[y0, x0]) / area
+    return out.clip(0, 255).astype(np.uint8)
+
+
+def mean_luma_16(px: np.ndarray) -> float:
+    """Mean BT.601 luma of the 16x16 box-resized image, rounded to 4
+    places — the thumbnail operator's summary stat, factored here so
+    the fixture generator can precompute it per image as an
+    independent driver-oracle column."""
+    tp = avgpool_resize(px, 16, 16)
+    gray = tp.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    return round(float(gray.mean()), 4)
+
+
 def render_image(image_id: str, w: int, h: int, noise_seed: int = 0,
                  noise_amp: int = 0) -> np.ndarray:
     """Deterministically render test pixels keyed by *image_id*:

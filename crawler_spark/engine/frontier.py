@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types
 
 from ..functions.urls import canonicalize_url, url_hash, url_host, url_path
+from ..sources.tables import SnapshotTable
 from .config import PRIO_WIDTH, CrawlConfig, prio_component
 
 _HEX_W = PRIO_WIDTH
@@ -210,6 +211,15 @@ class FrontierEngine:
         self.web_table = (self._ensure_bucketed_web(bucketed_web_dir,
                                                     web_buckets)
                           if bucketed_web_dir else None)
+        # snapshot tables over the checkpoint dirs (Iceberg-shaped
+        # commit protocol, sources/tables.py): every micro-batch round
+        # is committed as a fast-append snapshot with per-partition
+        # lineage from the parquet footers; resume state and the
+        # round history are read FROM the manifest, so a dir that was
+        # being written when the driver died is invisible on restart.
+        os.makedirs(self.ckpt, exist_ok=True)
+        self.frontier_table = SnapshotTable(spark, self._paths("frontier"))
+        self.crawl_table = SnapshotTable(spark, self._paths("crawl"))
 
     def _ensure_bucketed_web(self, path: str, buckets: int) -> DataFrame:
         """Bucket+sort the static web by url ONCE (hash-bucketed table,
@@ -290,17 +300,16 @@ class FrontierEngine:
         return out
 
     def _state(self) -> dict:
-        p = os.path.join(self.ckpt, "_state.json")
-        if os.path.exists(p):
-            with open(p) as f:
-                return json.load(f)
-        return {"completed_rounds": 0, "done": False}
-
-    def _save_state(self, st: dict) -> None:
-        tmp = os.path.join(self.ckpt, "_state.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(st, f)
-        os.replace(tmp, os.path.join(self.ckpt, "_state.json"))
+        """Resume state derived from the frontier table's snapshot
+        manifest (NOT a side file): completed_rounds = highest
+        committed frontier round; done = a crawl-complete marker
+        snapshot exists. A round whose frontier dir was mid-write at
+        a crash never committed, so resume replays it idempotently
+        (round writes are mode=overwrite)."""
+        lineage = self.frontier_table.lineage()
+        rounds = [s["round"] for s in lineage if s["op"] == "round"]
+        return {"completed_rounds": max(rounds) if rounds else 0,
+                "done": any(s["op"] == "complete" for s in lineage)}
 
     def _politeness_mark(self, frontier: DataFrame) -> DataFrame:
         """Tag each frontier row with its politeness verdict for the
@@ -352,6 +361,13 @@ class FrontierEngine:
                                   F.lit("b").alias("sel"))
         (out.write.mode("overwrite").partitionBy("sel")
          .parquet(self._paths("frontier", rnd)))
+        # snapshot-commit the round (fast-append; per-partition
+        # lineage from footers, no extra Spark job). This commit IS
+        # the round's progress record — see _state().
+        self.frontier_table.commit_dir(
+            f"round={rnd:05d}", "round",
+            self._footer_rows(self._paths("frontier", rnd)),
+            extra={"round": rnd})
 
     def _read_round(self, rnd: int) -> tuple[DataFrame, DataFrame, int]:
         """(batch, deferred, n_batch) for a written frontier round —
@@ -397,7 +413,8 @@ class FrontierEngine:
             batch, deferred, n_batch = self._read_round(rnd)
             tick("select")
             if n_batch == 0:
-                self._save_state({"completed_rounds": rnd, "done": True})
+                self.frontier_table.commit_marker("complete",
+                                                  extra={"round": rnd})
                 break
             # fetch = join against the synthetic web (deterministic
             # stand-in for a mapInPandas HTTP stage). URLs absent from
@@ -460,6 +477,13 @@ class FrontierEngine:
                                      self.allowed_hosts, self.cfg)
             (combined.write.mode("overwrite").partitionBy("kind")
              .parquet(self._paths("crawl", rnd)))
+            # commit the crawl round BEFORE the next frontier round:
+            # resume replays any round whose frontier commit is
+            # missing, so the crawl commit must never lag it
+            crawl_counts = self._footer_rows(self._paths("crawl", rnd))
+            self.crawl_table.commit_dir(f"round={rnd:05d}", "round",
+                                        crawl_counts,
+                                        extra={"round": rnd})
             edge_dir = os.path.join(self._paths("crawl", rnd), "kind=edge")
             if os.path.isdir(edge_dir):
                 edges = self.spark.read.parquet(edge_dir)
@@ -490,9 +514,10 @@ class FrontierEngine:
             # deferred anti-join. Reading from checkpoint also
             # truncates lineage across rounds.
             cand = cand.select("url", "depth", "host")
-            # one partition discovery of the frontier history per
-            # round, shared by every variant below
-            frontier_hist = self.spark.read.parquet(self._paths("frontier"))
+            # one manifest-driven read of the committed frontier
+            # history per round, shared by every variant below
+            frontier_hist = self.frontier_table.read(
+                with_partition_columns=True)
             all_seen = frontier_hist.select("url")
             if self.enforce_politeness:
                 # Depth-correcting admit. Under politeness a URL can be
@@ -558,14 +583,13 @@ class FrontierEngine:
             # per-round metrics + per-partition lineage straight from
             # the parquet footers (no Spark job; one footer per
             # written partition, counts sum to the edge total)
-            part_counts = self._footer_rows(
-                os.path.join(self._paths("crawl", rnd), "kind=edge"))
+            part_counts = {k: v for k, v in crawl_counts.items()
+                           if k.startswith("kind=edge")}
             n_edges = sum(part_counts.values())
             # actual fetched rows (dead links produce no fetched row
             # under the inner-join fetch, so fetched < scheduled)
-            n_fetched = sum(self._footer_rows(
-                os.path.join(self._paths("crawl", rnd),
-                             "kind=page")).values())
+            n_fetched = sum(v for k, v in crawl_counts.items()
+                            if k.startswith("kind=page"))
             tick("lineage")
             metrics = dict(round=rnd, scheduled=n_batch, fetched=n_fetched,
                            edges=n_edges,
@@ -575,8 +599,9 @@ class FrontierEngine:
                            steps=steps)
             with open(os.path.join(self.ckpt, "metrics.jsonl"), "a") as f:
                 f.write(json.dumps(metrics) + "\n")
+            # no separate state write: _write_frontier's snapshot
+            # commit of round rnd+1 IS the progress record
             rnd += 1
-            self._save_state({"completed_rounds": rnd, "done": False})
 
     # ---- resolve phase ----
 
@@ -610,7 +635,7 @@ class FrontierEngine:
         # into the explore-side edge write — scheme/domain/robots run
         # exactly once per edge, there), so resolve needs no second
         # pass through the admission regexes.
-        edges = (self.spark.read.parquet(self._paths("crawl"))
+        edges = (self.crawl_table.read(with_partition_columns=True)
                  .filter(F.col("kind") == "edge")
                  .select("parent_url", "link_index", "child_url"))
         seeds = self.seed_claims().localCheckpoint()
@@ -674,7 +699,7 @@ class FrontierEngine:
         # ~8 bytes/node (L3-resident) instead of an open-addressing
         # hash walk, which was memory-bound at bench scale.
         nodes_path = self._paths("nodes")
-        (self.spark.read.parquet(self._paths("frontier"))
+        (self.frontier_table.read()
          .select(url_hash(F.col("url")).alias("h"))
          .unionByName(seeds.select(url_hash(F.col("url")).alias("h")))
          .distinct()
@@ -838,7 +863,7 @@ class FrontierEngine:
         # mapping dominated the rejoin. Semi-join against the claimed
         # hashes first, then dedup.
         claimed_h = claims_df.select("h")
-        urls = (self.spark.read.parquet(self._paths("frontier"))
+        urls = (self.frontier_table.read()
                 .select("url")
                 .withColumn("h", url_hash(F.col("url")))
                 .join(F.broadcast(claimed_h), "h", "left_semi")
@@ -911,7 +936,7 @@ class FrontierEngine:
         never-materialized URLs are 404s (dead links — fetched as
         absent)."""
         cfg = self.cfg
-        fetched = (self.spark.read.parquet(self._paths("crawl"))
+        fetched = (self.crawl_table.read(with_partition_columns=True)
                    .filter(F.col("kind") == "page")
                    .select(F.col("parent_url").alias("url"),
                            "status_code").distinct())
@@ -969,7 +994,7 @@ class FrontierEngine:
     def image_refs(self, visits: DataFrame) -> DataFrame:
         """(page_url, src, caption) for visited, extracted pages —
         the rows that join to the image+caption byte table (E3)."""
-        fetched = (self.spark.read.parquet(self._paths("crawl"))
+        fetched = (self.crawl_table.read(with_partition_columns=True)
                    .filter(F.col("kind") == "page"))
         pages = (fetched.filter(F.col("title").isNotNull() &
                                 (F.col("status_code") != 0))

@@ -27,25 +27,7 @@ from pyspark.sql.types import (BinaryType, DoubleType, IntegerType,
                                StringType, StructField, StructType)
 
 from ..core.imaging import decode_image, png_encode
-
-
-def _avgpool_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Deterministic box-filter resize (pure numpy — the real
-    transform, no codec needed)."""
-    h, w, c = px.shape
-    ys = (np.arange(out_h + 1) * h // out_h).clip(0, h)
-    xs = (np.arange(out_w + 1) * w // out_w).clip(0, w)
-    out = np.empty((out_h, out_w, c), np.float64)
-    csum = np.zeros((h + 1, w + 1, c))
-    csum[1:, 1:] = px.astype(np.float64).cumsum(0).cumsum(1)
-    for yi in range(out_h):
-        y0, y1 = ys[yi], max(ys[yi + 1], ys[yi] + 1)
-        for xi in range(out_w):
-            x0, x1 = xs[xi], max(xs[xi + 1], xs[xi] + 1)
-            area = (y1 - y0) * (x1 - x0)
-            out[yi, xi] = (csum[y1, x1] - csum[y0, x1]
-                           - csum[y1, x0] + csum[y0, x0]) / area
-    return out.clip(0, 255).astype(np.uint8)
+from ..core.imaging import avgpool_resize as _avgpool_resize
 
 
 def thumbnail(images: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:

@@ -42,116 +42,150 @@ def with_cosine(pairs: DataFrame, col_a: str = "vec_a",
         "cosine", _dot(a, b) / (_norm(a) * _norm(b)))
 
 
-def _normalized_corpus(emb: DataFrame, id_col: str, vec_col: str):
-    """Corpus as (ids int64[n], unit-row matrix float64[n,d]) for
-    broadcast into Arrow batches. Brute-force paths require a
-    broadcastable corpus by design (the at-scale path is
-    lsh_bucketed_neighbors / IVF sharding — see module docstring)."""
+def _block_rows(emb: DataFrame, id_col: str, vec_col: str,
+                n_blocks: int, blk: str) -> DataFrame:
+    """Corpus packed into n_blocks carrier rows: (blk, rows
+    array<struct<id,v>>). The id→block map is xxhash64 — uniform, no
+    skew, reproducible. At 10^9+ vectors n_blocks scales so each
+    carrier row stays ~100 MB (a 2 GB row ceiling is the only
+    constraint); nothing ever lands on the driver."""
+    return (emb.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("v"))
+            .withColumn(blk, F.pmod(F.xxhash64(F.col("id").cast("string")),
+                                    F.lit(n_blocks)).cast("int"))
+            .groupBy(blk)
+            .agg(F.collect_list(F.struct("id", "v")).alias(f"{blk}_rows")))
+
+
+def _unpack(rows):
     import numpy as np
 
-    pdf = emb.select(F.col(id_col).alias("id"),
-                     F.col(vec_col).cast("array<double>").alias("v")
-                     ).toPandas()
-    ids = pdf["id"].to_numpy()
-    m = np.stack(pdf["v"].to_numpy())
-    norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
-    return ids, m / norms
+    ids = np.array([r["id"] for r in rows], np.int64)
+    m = np.stack([np.asarray(r["v"]) for r in rows])
+    return ids, m / np.sqrt((m * m).sum(axis=1, keepdims=True))
 
 
 def cosine_pairs(emb: DataFrame, threshold: float,
                  id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 n_blocks: int | None = None) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold — exact
-    brute-force, computed as blocked numpy matmul (BLAS) inside
-    Arrow batches: each partition's query block multiplies against
-    the broadcast unit-normalized corpus. ~50× the per-row Catalyst
-    fold (array allocation per pair dominates there)."""
+    brute-force as a BLOCK-PARTITIONED matmul: the corpus is packed
+    into B carrier rows (xxhash blocks), the B·(B+1)/2 block pairs
+    fan out as a self-join, and each task BLAS-multiplies one block
+    pair inside an Arrow batch. No driver-side corpus collect, no
+    broadcast: the quadratic compute is inherent to exact all-pairs,
+    but every task is bounded and the plan scales by raising
+    n_blocks. (The sub-quadratic path is lsh_bucketed_neighbors.)
+    Each unordered pair is computed exactly once, so cosine values
+    are bit-identical to the single-matrix formulation."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (DoubleType, LongType, StructField,
                                    StructType)
 
     spark = emb.sparkSession
-    ids, mat = _normalized_corpus(emb, id_col, vec_col)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    if n_blocks is None:
+        n_blocks = max(4, int(spark.sparkContext.defaultParallelism ** 0.5))
+    a = _block_rows(emb, id_col, vec_col, n_blocks, "ablk")
+    b = _block_rows(emb, id_col, vec_col, n_blocks, "bblk")
+    cross = a.crossJoin(b).filter(F.col("ablk") <= F.col("bblk"))
     schema = StructType([StructField("id_a", LongType()),
                          StructField("id_b", LongType()),
                          StructField("cosine", DoubleType())])
 
     def block(it):
-        cids, cmat = bc.value
         for pdf in it:
-            if not len(pdf):
-                continue
-            q = np.stack(pdf["v"].to_numpy())
-            qn = q / np.sqrt((q * q).sum(axis=1, keepdims=True))
-            sims = qn @ cmat.T
-            qids = pdf["id"].to_numpy()
-            mask = (sims >= threshold) & (qids[:, None] < cids[None, :])
-            qi, ci = np.nonzero(mask)
-            yield pd.DataFrame({"id_a": qids[qi], "id_b": cids[ci],
-                                "cosine": np.round(sims[qi, ci], 6)})
+            for _, row in pdf.iterrows():
+                aids, am = _unpack(row["ablk_rows"])
+                same = row["ablk"] == row["bblk"]
+                bids, bm = (aids, am) if same \
+                    else _unpack(row["bblk_rows"])
+                sims = am @ bm.T
+                if same:
+                    mask = (sims >= threshold) & \
+                        (aids[:, None] < bids[None, :])
+                else:  # cross-block: every pair once, oriented a<b
+                    mask = sims >= threshold
+                qi, ci = np.nonzero(mask)
+                ia, ib = aids[qi], bids[ci]
+                lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+                yield pd.DataFrame({"id_a": lo, "id_b": hi,
+                                    "cosine": np.round(sims[qi, ci], 6)})
 
-    par = spark.sparkContext.defaultParallelism
-    src = emb.select(F.col(id_col).alias("id"),
-                     F.col(vec_col).cast("array<double>").alias("v")
-                     ).repartition(par)
-    return src.mapInPandas(block, schema)
+    # repartition so each block pair is its own task
+    return (cross.repartition(n_blocks * (n_blocks + 1) // 2,
+                              "ablk", "bblk")
+            .mapInPandas(block, schema))
 
 
 def ann_topk(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
              vec_col: str = "embedding",
              queries: DataFrame | None = None,
-             round_digits: int = 4) -> DataFrame:
-    """Exact top-k cosine neighbors per query vector — blocked numpy
-    matmul against the broadcast normalized corpus, top-k per query
-    via argsort on (-rounded cosine, neighbor id). Coarse rounding +
-    id tiebreak keeps ranks engine-independent. queries defaults to
-    the corpus itself (self-matches excluded)."""
+             round_digits: int = 4,
+             n_blocks: int | None = None) -> DataFrame:
+    """Exact top-k cosine neighbors per query — block-partitioned:
+    query blocks × corpus blocks fan out as carrier-row pairs, each
+    task BLAS-scores one pair and keeps its local top-k per query,
+    and a final window over the B·k survivors per query picks the
+    global top-k by (-rounded cosine, neighbor id). Coarse rounding +
+    id tiebreak keeps ranks engine-independent; no driver collect,
+    no corpus broadcast. queries defaults to the corpus itself
+    (self-matches excluded)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (DoubleType, LongType, StructField,
                                    StructType)
 
     spark = emb.sparkSession
-    ids, mat = _normalized_corpus(emb, id_col, vec_col)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    if n_blocks is None:
+        n_blocks = max(4, int(spark.sparkContext.defaultParallelism ** 0.5))
+    q = _block_rows(queries or emb, id_col, vec_col, n_blocks, "qblk")
+    c = _block_rows(emb, id_col, vec_col, n_blocks, "cblk")
+    cross = q.crossJoin(c)
     schema = StructType([StructField("qid", LongType()),
                          StructField("nid", LongType()),
-                         StructField("rank", IntegerType()),
                          StructField("cosine", DoubleType())])
 
     def block(it):
-        cids, cmat = bc.value
-        order_ids = np.argsort(cids, kind="stable")
         for pdf in it:
-            if not len(pdf):
-                continue
-            q = np.stack(pdf["v"].to_numpy())
-            qn = q / np.sqrt((q * q).sum(axis=1, keepdims=True))
-            sims = np.round(qn @ cmat.T, round_digits)
-            qids = pdf["id"].to_numpy()
-            rows_q, rows_n, rows_r, rows_c = [], [], [], []
-            for qi in range(len(qids)):
-                s = sims[qi].copy()
-                s[cids == qids[qi]] = -np.inf  # exclude self
-                # sort by (-cosine, nid): stable argsort over nid-sorted
-                idx = order_ids[np.argsort(-s[order_ids], kind="stable")][:k]
-                for r, ni in enumerate(idx, start=1):
-                    if s[ni] == -np.inf:
-                        break
-                    rows_q.append(qids[qi])
-                    rows_n.append(cids[ni])
-                    rows_r.append(r)
-                    rows_c.append(s[ni])
-            yield pd.DataFrame({"qid": rows_q, "nid": rows_n,
-                                "rank": rows_r, "cosine": rows_c})
+            for _, row in pdf.iterrows():
+                qids, qm = _unpack(row["qblk_rows"])
+                cids, cm = _unpack(row["cblk_rows"])
+                sims = np.round(qm @ cm.T, round_digits)
+                sims[qids[:, None] == cids[None, :]] = -np.inf
+                order_ids = np.argsort(cids, kind="stable")
+                kk = min(k, sims.shape[1])
+                rows_q, rows_n, rows_c = [], [], []
+                for qi in range(len(qids)):
+                    s = sims[qi]
+                    idx = order_ids[
+                        np.argsort(-s[order_ids], kind="stable")][:kk]
+                    for ni in idx:
+                        if s[ni] == -np.inf:
+                            break
+                        rows_q.append(qids[qi])
+                        rows_n.append(cids[ni])
+                        rows_c.append(s[ni])
+                yield pd.DataFrame({"qid": rows_q, "nid": rows_n,
+                                    "cosine": rows_c})
 
-    par = spark.sparkContext.defaultParallelism
-    src = (queries or emb).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v")).repartition(par)
-    return src.mapInPandas(block, schema)
+    local = (cross.repartition(n_blocks * n_blocks, "qblk", "cblk")
+             .mapInPandas(block, schema))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                          F.col("nid").asc())
+    return (local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", "rank", "cosine"))
+
+
+def _score_e4(cos):
+    """Integerized similarity score: floor(cosine·10⁴ + 0.5) as long.
+    Replaces double rounding in ranked outputs — floor of an identical
+    double expression is engine-independent (no HALF_UP-vs-banker's
+    ambiguity), so ranks and value hashes match any SQL oracle
+    computing the same fold."""
+    return F.floor(cos * 10000 + 0.5).cast("long")
 
 
 def _hyperplane(dim: int, plane: int) -> list[float]:
@@ -239,9 +273,17 @@ def ivf_centroids(emb: DataFrame, n_centroids: int = 16, iters: int = 2,
                      F.col(vec_col).cast("array<double>").alias("vec"))
     for _ in range(iters):
         assigned = _assign_clusters(src, cm)
+        # order-independent exact mean: components quantized to 2^-30
+        # and summed as longs (integer addition commutes exactly;
+        # float partial-aggregate merge order is not bit-stable
+        # across runs and could flip near-tie assignments)
         means = (assigned
                  .select("cluster", F.posexplode("vec").alias("dim", "x"))
-                 .groupBy("cluster", "dim").agg(F.avg("x").alias("m"))
+                 .groupBy("cluster", "dim")
+                 .agg((F.sum(F.floor(F.col("x") * F.lit(float(1 << 30)))
+                             .cast("long"))
+                       / (F.count("*") * F.lit(float(1 << 30))))
+                      .alias("m"))
                  .groupBy("cluster")
                  .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
                       .alias("s"))
@@ -279,12 +321,12 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_centroids: int = 16,
     scored = (probes.join(corpus, "cluster")
               .filter(F.col("qid") != F.col("nid"))
               .transform(with_cosine)
-              .withColumn("cos_r", F.round("cosine", 4)))
-    w = Window.partitionBy("qid").orderBy(F.col("cos_r").desc(),
+              .withColumn("cos_e4", _score_e4(F.col("cosine"))))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_e4").desc(),
                                           F.col("nid").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select("qid", "nid", "rank", F.col("cos_r").alias("cosine")))
+            .select("qid", "nid", "rank", "cos_e4"))
 
 
 def lsh_bucketed_neighbors(emb: DataFrame, k: int = 5,
@@ -305,9 +347,9 @@ def lsh_bucketed_neighbors(emb: DataFrame, k: int = 5,
                         F.col("vec").alias("vec_b"), "bucket")
     scored = (a.join(b, "bucket").filter(F.col("qid") != F.col("nid"))
               .transform(with_cosine)
-              .withColumn("cos_r", F.round("cosine", 4)))
-    w = Window.partitionBy("qid").orderBy(F.col("cos_r").desc(),
+              .withColumn("cos_e4", _score_e4(F.col("cosine"))))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_e4").desc(),
                                           F.col("nid").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select("qid", "nid", "rank", F.col("cos_r").alias("cosine")))
+            .select("qid", "nid", "rank", "cos_e4"))

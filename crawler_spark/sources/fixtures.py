@@ -25,7 +25,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..core.imaging import fake_lossy_encode, phash64, png_encode, render_image
+from ..core.imaging import (decode_image, fake_lossy_encode, mean_luma_16,
+                            phash64, png_encode, render_image)
 from ..core.urls import canonicalize_url
 from ..core.xxhash64 import xxhash64
 
@@ -300,6 +301,11 @@ class WebGen:
                     fmt=fmt,
                     caption=im["alt"],
                     phash=phash64(px),
+                    # thumbnail-stat oracle column: mean 16x16-box
+                    # luma of the DECODED bytes, precomputed at
+                    # generation so the driver's DuckDB check can
+                    # verify the distributed thumbnail stage
+                    mean_luma=mean_luma_16(decode_image(data, fmt)),
                     src=src,
                 )
         rows = list(seen.values())
@@ -312,9 +318,65 @@ class WebGen:
                 "fmt": [r["fmt"] for r in rows],
                 "caption": [r["caption"] for r in rows],
                 "phash": pa.array([r["phash"] for r in rows], pa.int64()),
+                "mean_luma": pa.array([r["mean_luma"] for r in rows],
+                                      pa.float64()),
                 "src": [r["src"] for r in rows],
             }
         )
+
+
+def render_page_html(row: dict) -> str:
+    """Deterministic raw-HTML rendering of one web_pages row — the
+    inverse of crawler_spark.core.html_parse.parse_page, so the E1
+    HTML-parse stage can be driven (and round-trip-tested) from real
+    markup instead of the pre-parsed structs. Anchor/button link
+    provenance (class ⇒ selector, data-x/data-y ⇒ position, text ⇒
+    label) renders exactly the fields the reference's DOM evaluate
+    reads (crawler-engine.ts:1504-1589); a <style> block with
+    relative url() refs exercises the E14 absolutize path."""
+    import html as _html
+
+    def esc(s):
+        return _html.escape(str(s), quote=True)
+
+    parts = ["<!DOCTYPE html><html><head>",
+             f"<title>{esc(row['title'])}</title>"]
+    if row.get("meta_description"):
+        parts.append(f'<meta name="description" '
+                     f'content="{esc(row["meta_description"])}">')
+    # css with relative url() refs (absolutized by the parser, E14)
+    parts.append('<style>body { background: url("/assets/bg.png"); }\n'
+                 ".hero { background-image: url('../img/hero.jpg'); }"
+                 "</style>")
+    parts.append("</head><body>")
+    for k, htext in enumerate(row.get("headings") or []):
+        lvl = min(k + 1, 6)
+        parts.append(f"<h{lvl}>{esc(htext)}</h{lvl}>")
+    for ln in row.get("links") or []:
+        cls = ln["selector"].split(".", 1)[1] if "." in ln["selector"] else ""
+        pos = (f'data-x="{ln["pos_x"]}" data-y="{ln["pos_y"]}"')
+        if ln["element_type"] == "a":
+            parts.append(f'<a href="{esc(ln["href"])}" class="{cls}" {pos}>'
+                         f"{esc(ln['label'])}</a>")
+        else:  # button[onclick] navigation
+            parts.append(f'<button class="{cls}" {pos} '
+                         f"onclick=\"location.href='{esc(ln['href'])}'\">"
+                         f"{esc(ln['label'])}</button>")
+    for im in row.get("images") or []:
+        parts.append(f'<img src="{esc(im["src"])}" alt="{esc(im["alt"])}">')
+    for fm in row.get("forms") or []:
+        inputs = "".join(f'<input name="{esc(f)}">'
+                         for f in fm.get("fields") or [])
+        parts.append(f'<form action="{esc(fm["action"])}" '
+                     f'method="{esc(fm["method"])}">{inputs}</form>')
+    # clickable-element URL-mining surface (crawler-engine.ts:1387-1412)
+    if row.get("links"):
+        first = row["links"][0]["href"]
+        parts.append(f'<div data-href="{esc(first)}" '
+                     f'onclick="track()">promo</div>')
+    parts.append(f"<p>{esc(row.get('text_content') or '')}</p>")
+    parts.append("</body></html>")
+    return "".join(parts)
 
 
 def generate(tier: str, out_dir: str, salt: str = "v1") -> dict[str, int]:

@@ -75,14 +75,27 @@ class SnapshotTable:
 
     # ---- reads ----
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
+    def read(self, snapshot_id: int | None = None,
+             with_partition_columns: bool = False) -> DataFrame:
+        """Read a snapshot (current by default). Only COMMITTED member
+        dirs are visible — a half-written dir that never reached
+        commit_dir simply isn't in the manifest, which is the
+        crash-consistency property the engine leans on.
+        with_partition_columns=True recovers hive-style partition
+        columns from member dir names (basePath read)."""
         mani = self._manifest()
         sid = snapshot_id or mani["current"]
         if sid is None:
             raise FileNotFoundError(f"{self.path}: empty table")
         snap = next(s for s in mani["snapshots"] if s["id"] == sid)
         dirs = [os.path.join(self.path, m) for m in snap["members"]]
-        return self.spark.read.parquet(*dirs)
+        # basePath is always set: members use hive-style dir names
+        # (round=NNNNN), and a multi-dir read without a common base
+        # is rejected by the scan builder. Partition columns come for
+        # free; with_partition_columns=False callers just don't
+        # select them.
+        return (self.spark.read.option("basePath", self.path)
+                .parquet(*dirs))
 
     def lineage(self) -> list[dict]:
         """Snapshot history — id, parent, op, rows, per-partition
@@ -119,6 +132,56 @@ class SnapshotTable:
             "partition_rows": {str(r["pid"]): int(r["count"]) for r in parts},
             "members": cur["members"] + [new_dir],
         })
+        mani["current"] = sid
+        self._commit(mani)
+
+    def commit_dir(self, rel_dir: str, op: str,
+                   partition_rows: dict[str, int],
+                   extra: dict | None = None) -> None:
+        """Register an already-written directory under the table path
+        as a fast-append snapshot (the Iceberg `add_files` shape): no
+        data rewrite, no Spark job — per-partition lineage comes from
+        the caller's parquet-footer counts. The engine writes each
+        micro-batch round dir with its own partitioning, then commits
+        it here; until the commit, readers cannot see the dir."""
+        mani = self._manifest()
+        cur_members: list[str] = []
+        if mani["current"] is not None:
+            cur_members = next(s for s in mani["snapshots"]
+                               if s["id"] == mani["current"])["members"]
+        sid = len(mani["snapshots"]) + 1
+        # idempotent re-commit: a replayed round (crash after commit,
+        # resume rewrote the dir) must not list its dir twice
+        members = (cur_members if rel_dir in cur_members
+                   else cur_members + [rel_dir])
+        snap = {
+            "id": sid, "parent": mani["current"], "op": op,
+            "ts": time.time(),
+            "rows": int(sum(partition_rows.values())),
+            "partition_rows": {k: int(v) for k, v in partition_rows.items()},
+            "members": members,
+        }
+        if extra:
+            snap.update(extra)
+        mani["snapshots"].append(snap)
+        mani["current"] = sid
+        self._commit(mani)
+
+    def commit_marker(self, op: str, extra: dict | None = None) -> None:
+        """Data-less snapshot (members unchanged) recording a state
+        transition — e.g. the engine's crawl-complete marker."""
+        mani = self._manifest()
+        cur_members: list[str] = []
+        if mani["current"] is not None:
+            cur_members = next(s for s in mani["snapshots"]
+                               if s["id"] == mani["current"])["members"]
+        sid = len(mani["snapshots"]) + 1
+        snap = {"id": sid, "parent": mani["current"], "op": op,
+                "ts": time.time(), "rows": 0, "partition_rows": {},
+                "members": cur_members}
+        if extra:
+            snap.update(extra)
+        mani["snapshots"].append(snap)
         mani["current"] = sid
         self._commit(mani)
 

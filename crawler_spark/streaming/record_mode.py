@@ -133,17 +133,19 @@ def dedup_screenshots(shots: DataFrame) -> DataFrame:
     win_ms = SCREENSHOT_DEDUP_MS
 
     def scan(pdf):
-        pdf = pdf.sort_values(["ts", "shot_id"])
-        kept_rows = []
-        last_ms = None
-        for _, row in pdf.iterrows():
-            ms = row["ts"].value // 1_000_000
-            if last_ms is None or ms - last_ms > win_ms:
-                kept_rows.append(row)
-                last_ms = ms
-        import pandas as pd
+        import numpy as np
 
-        return pd.DataFrame(kept_rows, columns=pdf.columns)
+        pdf = pdf.sort_values(["ts", "shot_id"]).reset_index(drop=True)
+        # plain int64 scan (no per-row pandas objects): the greedy
+        # keep-chain is sequential, but it only needs the ms column
+        ms = pdf["ts"].astype("int64").to_numpy() // 1_000_000
+        keep = np.zeros(len(ms), dtype=bool)
+        last_ms = None
+        for i, m in enumerate(ms.tolist()):
+            if last_ms is None or m - last_ms > win_ms:
+                keep[i] = True
+                last_ms = m
+        return pdf[keep]
 
     return shots.groupBy(*key).applyInPandas(scan, schema=shots.schema)
 

@@ -73,9 +73,11 @@ def _advance(pdf: pd.DataFrame) -> pd.DataFrame:
         last_tick, last_content, active = None, None, False
     events = []
     rows = pdf[~pdf["is_state"]].sort_values("tick")
-    for _, r in rows.iterrows():
-        t = int(r["tick"])
-        c = r["content"]
+    # column-wise scan (no per-row pandas objects): the transition
+    # chain is sequential per key, but it only needs two columns
+    for t, c in zip(rows["tick"].astype("int64").tolist(),
+                    rows["content"].tolist()):
+        t = int(t)
         if not active or t - last_tick > 1:
             if active and t - last_tick > 1:
                 events.append((sid, sel, last_tick + 1, "close"))

@@ -108,7 +108,7 @@ def test_ivf_deterministic(spark):
 def ivf_topk_rows(emb):
     from crawler_spark.operators.similarity import ivf_topk
 
-    return [(r["qid"], r["nid"], r["rank"], r["cosine"])
+    return [(r["qid"], r["nid"], r["rank"], r["cos_e4"])
             for r in ivf_topk(emb, k=3, n_centroids=8, nprobe=2,
                               iters=1).collect()]
 

@@ -43,6 +43,51 @@ print("RESULT " + json.dumps(res))
 """
 
 
+CAL_CHILD = r"""
+import sys, time, json
+sys.path.insert(0, {repo!r})
+from crawler_spark.plans.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark("cal", cores={cores}, shuffle_partitions={cores})
+N = 100_000_000 * {cores}
+def mk(off):
+    x = F.col("id")
+    for _ in range(8):
+        x = F.xxhash64(x)
+    return spark.range(off, off + N, 1, {cores}).agg(F.bit_xor(x))
+mk(999).collect()
+best = 1e9
+for t in range(3):
+    t0 = time.time(); mk(t * 7).collect(); best = min(best, time.time() - t0)
+print("RESULT " + json.dumps({{"rows_per_sec": N / best}}))
+"""
+
+
+def run_calibration(small: int, large: int) -> dict:
+    """Single-box ceiling: an embarrassingly-parallel, shuffle-free,
+    allocation-free Spark workload (chained xxhash64 over range, work
+    proportional to cores) at both core counts. Its efficiency is the
+    best ANY Spark job can measure on this machine at this core pair
+    (shared memory bus + JVM; separate 4N-executor clusters don't
+    share these) — reported so engine efficiency can be read against
+    the hardware's, not an unreachable 1.0."""
+    vals = {}
+    for cores in (small, large):
+        code = CAL_CHILD.format(repo=REPO, cores=cores)
+        p = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, cwd=REPO, check=False)
+        for line in p.stdout.splitlines():
+            if line.startswith("RESULT "):
+                vals[cores] = json.loads(line[len("RESULT "):])["rows_per_sec"]
+    if len(vals) != 2:
+        return {"error": "calibration child failed"}
+    eff = vals[large] / (large / small * vals[small])
+    return {"workload": "8-chained xxhash64 over range, 100M rows/core",
+            "small_rows_per_sec": round(vals[small] / 1e6, 1),
+            "large_rows_per_sec": round(vals[large] / 1e6, 1),
+            "hardware_ceiling_efficiency": round(eff, 3)}
+
+
 def run_one(cores: int, depth: int, pages: int) -> dict:
     code = CHILD.format(repo=REPO, cores=cores, depth=depth)
     env = dict(os.environ, SPARK_GRAFT_BENCH_PAGES=str(pages))
@@ -97,6 +142,8 @@ print("PREWARMED")
 
     import statistics
 
+    calibration = run_calibration(args.small, args.large)
+
     small_runs = [run_one(args.small, args.depth, args.pages)
                   for _ in range(args.repeat)]
     large_runs = [run_one(args.large, args.depth, args.pages)
@@ -121,9 +168,13 @@ print("PREWARMED")
         "explore_speedup": round(large["explore_urls_per_sec"]
                                  / small["explore_urls_per_sec"], 3),
         "explore_scaling_efficiency": round(eff_explore, 3),
+        "hardware_calibration": calibration,
         "note": ("min-of-N headline (noisy-neighbor sandbox), median "
                  "alongside; politeness scheduler ON; children prewarm "
-                 "JVM/codegen on a small web before timing"),
+                 "JVM/codegen on a small web before timing; "
+                 "hardware_calibration = the same-pair efficiency of a "
+                 "perfectly-parallel shuffle-free Spark workload on "
+                 "this single shared-memory box"),
     }
     print(json.dumps(out, indent=2))
     if args.json:
