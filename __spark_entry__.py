@@ -837,6 +837,121 @@ def entry(spark: SparkSession) -> DataFrame:
             .orderBy("batch_id"))
 
 
+def _login_elements(spark, sf_dir):
+    """Deterministic clickable-element rows from part: every attribute
+    the reference's login scan reads (crawler-engine.ts:757-862),
+    with login markers injected into each text source so every
+    predicate branch is exercised."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    tag = F.element_at(
+        F.array(*[F.lit(t) for t in
+                  ("button", "a", "div", "input", "span", "a")]),
+        (k % 6 + 1).cast("int"))
+    typ = (F.when(k % 11 == 0, "submit")
+           .when(k % 11 == 1, "button").otherwise(""))
+    role = F.when(k % 13 == 0, "button").otherwise("")
+    onclick = F.when(k % 17 == 0, "nav()").otherwise("")
+    text = (F.when(k % 7 == 0, "Log In")
+            .when(k % 7 == 1, "Sign in to continue")
+            .when(k % 7 == 2, "Enter")
+            .otherwise(F.col("p_name")))
+    child_text = F.when(k % 19 == 0, "LOG IN").otherwise("")
+    cls = (F.when(k % 23 == 0, "SignUpButtonDesktop x")
+           .when(k % 23 == 1, "btn primary")
+           .otherwise(F.col("p_brand")))
+    href = F.when(k % 29 == 0, "/login").otherwise(
+        F.concat(F.lit("/x/"), k.cast("string")))
+    return p.select(
+        F.concat(F.lit("https://site/p"), (k % 97).cast("string"))
+        .alias("page_url"),
+        k.cast("long").alias("element_index"),
+        tag.alias("tag"), typ.alias("typ"), role.alias("role"),
+        onclick.alias("onclick"), text.alias("text"),
+        child_text.alias("child_text"), cls.alias("cls"),
+        F.concat(F.lit("el"), k.cast("string")).alias("eid"),
+        href.alias("href"), (k % 3 != 0).alias("visible"))
+
+
+def q_login_detect(spark, sf_dir):
+    """P4 login-button detection as column predicates: clickable scan →
+    login text/regex/class match over every text source → first
+    visible match per page wins the click
+    (crawler-engine.ts:757-933)."""
+    from crawler_spark.functions.login import (is_clickable_candidate,
+                                               is_login_element,
+                                               has_login_text,
+                                               matches_login_pattern,
+                                               pick_login_click)
+    e = _login_elements(spark, sf_dir)
+    srcs = [F.col(c) for c in
+            ("text", "child_text", "cls", "eid", "href", "role")]
+    cand = (e.filter(is_clickable_candidate(
+        F.col("tag"), F.col("typ"), F.col("role"),
+        F.col("onclick"), F.col("cls")))
+        .withColumn("is_login",
+                    is_login_element(*srcs, cls=F.col("cls")))
+        .withColumn("via",
+                    F.when(has_login_text(*srcs), "text")
+                    .when(matches_login_pattern(*srcs), "pattern")
+                    .otherwise("class")))
+    return (pick_login_click(cand)
+            .select("page_url", "element_index", "tag", "via"))
+
+
+def q_login_form_fields(spark, sf_dir):
+    """P4 login-form field classification: username/password/submit
+    selector lists as priority columns, first-selector-first-visible
+    winner per page (crawler-engine.ts:1108-1214)."""
+    from crawler_spark.functions.login import (password_priority,
+                                               pick_form_fields,
+                                               submit_priority,
+                                               username_priority)
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    tag = (F.when(k % 3 == 0, "input")
+           .when(k % 3 == 1, "button").otherwise("div"))
+    typ = (F.when(k % 5 == 0, "text").when(k % 5 == 1, "email")
+           .when(k % 5 == 2, "password").when(k % 5 == 3, "submit")
+           .otherwise(""))
+    name = (F.when(k % 7 == 0, "username").when(k % 7 == 1, "email")
+            .when(k % 7 == 2, "user").when(k % 7 == 3, "login")
+            .when(k % 7 == 4, "password").otherwise(""))
+    eid = (F.when(k % 11 == 0, "username").when(k % 11 == 1, "email")
+           .when(k % 11 == 2, "password")
+           .when(k % 11 == 3, "signup-email-x")
+           .otherwise(F.concat(F.lit("e"), k.cast("string"))))
+    cls = (F.when(k % 13 == 0, "username-box")
+           .when(k % 13 == 1, "form-email")
+           .when(k % 13 == 2, "password-input")
+           .when(k % 13 == 3, "submit-btn")
+           .when(k % 13 == 4, "login-cta").otherwise("c"))
+    placeholder = (F.when(k % 17 == 0, "Enter username")
+                   .when(k % 17 == 1, "Email address")
+                   .when(k % 17 == 2, "Password").otherwise(""))
+    text = (F.when(k % 19 == 0, "Login").when(k % 19 == 1, "Sign in")
+            .when(k % 19 == 2, "Log in").when(k % 19 == 3, "Submit")
+            .when(k % 19 == 4, "Enter").otherwise("go"))
+    e = c.select(
+        F.concat(F.lit("https://site/f"), (k % 53).cast("string"))
+        .alias("page_url"),
+        k.cast("long").alias("element_index"),
+        tag.alias("tag"), typ.alias("typ"), name.alias("name"),
+        eid.alias("eid"), cls.alias("cls"),
+        placeholder.alias("placeholder"), text.alias("text"),
+        (k % 4 != 0).alias("visible"))
+    e = (e.withColumn("username_prio", username_priority(
+            F.col("tag"), F.col("typ"), F.col("name"), F.col("eid"),
+            F.col("cls"), F.col("placeholder")))
+         .withColumn("password_prio", password_priority(
+            F.col("tag"), F.col("typ"), F.col("name"), F.col("eid"),
+            F.col("cls"), F.col("placeholder")))
+         .withColumn("submit_prio", submit_priority(
+            F.col("tag"), F.col("typ"), F.col("text"), F.col("eid"),
+            F.col("cls"))))
+    return pick_form_fields(e)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl-core operator analogs (SURVEY.md §2)
@@ -873,6 +988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_sanitize": q_html_sanitize,
         "content_diff": q_content_diff,
         "screenshot_dedup": q_screenshot_dedup,
+        "login_detect": q_login_detect,
+        "login_form_fields": q_login_form_fields,
         "frontier_crawl": q_frontier_crawl,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
@@ -1451,6 +1568,132 @@ chain AS (
     ON o.session_id = c.session_id AND o.component_id = c.component_id
    AND o.reason = c.reason AND o.rn = c.rn + 1)
 SELECT shot_id FROM chain WHERE kept
+""",
+        "login_detect": """
+WITH e AS (
+  SELECT 'https://site/p' || (p_partkey % 97) AS page_url,
+         CAST(p_partkey AS BIGINT) AS element_index,
+         ['button','a','div','input','span','a'][(p_partkey % 6) + 1]
+           AS tag,
+         CASE p_partkey % 11 WHEN 0 THEN 'submit'
+              WHEN 1 THEN 'button' ELSE '' END AS typ,
+         CASE WHEN p_partkey % 13 = 0 THEN 'button' ELSE '' END AS role,
+         CASE WHEN p_partkey % 17 = 0 THEN 'nav()' ELSE '' END AS onclick,
+         CASE p_partkey % 7 WHEN 0 THEN 'Log In'
+              WHEN 1 THEN 'Sign in to continue'
+              WHEN 2 THEN 'Enter' ELSE p_name END AS text,
+         CASE WHEN p_partkey % 19 = 0 THEN 'LOG IN' ELSE '' END
+           AS child_text,
+         CASE p_partkey % 23 WHEN 0 THEN 'SignUpButtonDesktop x'
+              WHEN 1 THEN 'btn primary' ELSE p_brand END AS cls,
+         'el' || p_partkey AS eid,
+         CASE WHEN p_partkey % 29 = 0 THEN '/login'
+              ELSE '/x/' || p_partkey END AS href,
+         p_partkey % 3 <> 0 AS visible
+  FROM part),
+cand AS (
+  SELECT *,
+         lower(concat_ws(' ', text, child_text, cls, eid, href, role))
+           AS alltext
+  FROM e
+  WHERE lower(tag) IN ('button', 'a')
+     OR lower(role) = 'button'
+     OR (lower(tag) = 'input' AND lower(typ) IN ('submit', 'button'))
+     OR length(onclick) > 0
+     OR cls LIKE '%button%' OR cls LIKE '%btn%'
+     OR cls LIKE '%Button%' OR cls LIKE '%Sign%'),
+flagged AS (
+  SELECT *,
+         (alltext LIKE '%log in%' OR alltext LIKE '%login%'
+          OR alltext LIKE '%log-in%' OR alltext LIKE '%sign in%'
+          OR alltext LIKE '%signin%' OR alltext LIKE '%sign-in%'
+          OR alltext LIKE '%enter%' OR alltext LIKE '%access%'
+          OR alltext LIKE '%member login%'
+          OR alltext LIKE '%authenticate%' OR alltext LIKE '%auth%')
+           AS txt_hit,
+         regexp_matches(alltext,
+           '\\blog\\s*in\\b|\\blogin\\b|\\bsign\\s*in\\b|\\bsignin\\b|\\benter\\b|\\bauth\\b|\\baccess\\b|\\bmember\\b')
+           AS pat_hit,
+         (cls LIKE '%SignUpButtonDesktop%' OR cls LIKE '%ButtonWrapper%')
+           AS cls_hit
+  FROM cand)
+SELECT page_url, element_index, tag,
+       CASE WHEN txt_hit THEN 'text'
+            WHEN pat_hit THEN 'pattern' ELSE 'class' END AS via
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY page_url ORDER BY element_index) AS rn
+      FROM flagged
+      WHERE visible AND (txt_hit OR pat_hit OR cls_hit))
+WHERE rn = 1
+""",
+        "login_form_fields": """
+WITH e AS (
+  SELECT 'https://site/f' || (c_custkey % 53) AS page_url,
+         CAST(c_custkey AS BIGINT) AS element_index,
+         CASE c_custkey % 3 WHEN 0 THEN 'input'
+              WHEN 1 THEN 'button' ELSE 'div' END AS tag,
+         CASE c_custkey % 5 WHEN 0 THEN 'text' WHEN 1 THEN 'email'
+              WHEN 2 THEN 'password' WHEN 3 THEN 'submit'
+              ELSE '' END AS typ,
+         CASE c_custkey % 7 WHEN 0 THEN 'username' WHEN 1 THEN 'email'
+              WHEN 2 THEN 'user' WHEN 3 THEN 'login'
+              WHEN 4 THEN 'password' ELSE '' END AS name,
+         CASE c_custkey % 11 WHEN 0 THEN 'username'
+              WHEN 1 THEN 'email' WHEN 2 THEN 'password'
+              WHEN 3 THEN 'signup-email-x'
+              ELSE 'e' || c_custkey END AS eid,
+         CASE c_custkey % 13 WHEN 0 THEN 'username-box'
+              WHEN 1 THEN 'form-email' WHEN 2 THEN 'password-input'
+              WHEN 3 THEN 'submit-btn' WHEN 4 THEN 'login-cta'
+              ELSE 'c' END AS cls,
+         CASE c_custkey % 17 WHEN 0 THEN 'Enter username'
+              WHEN 1 THEN 'Email address' WHEN 2 THEN 'Password'
+              ELSE '' END AS placeholder,
+         CASE c_custkey % 19 WHEN 0 THEN 'Login' WHEN 1 THEN 'Sign in'
+              WHEN 2 THEN 'Log in' WHEN 3 THEN 'Submit'
+              WHEN 4 THEN 'Enter' ELSE 'go' END AS text,
+         c_custkey % 4 <> 0 AS visible
+  FROM customer),
+pr AS (
+  SELECT *,
+    CASE WHEN tag <> 'input' THEN NULL
+         WHEN name = 'username' THEN 0 WHEN name = 'email' THEN 1
+         WHEN typ = 'email' THEN 2
+         WHEN eid = 'username' THEN 3 WHEN eid = 'email' THEN 4
+         WHEN name = 'user' THEN 5 WHEN name = 'login' THEN 6
+         WHEN lower(placeholder) LIKE '%username%' THEN 7
+         WHEN lower(placeholder) LIKE '%email%' THEN 8
+         WHEN lower(eid) LIKE '%username%' THEN 9
+         WHEN lower(eid) LIKE '%email%' THEN 10
+         WHEN lower(cls) LIKE '%username%' THEN 11
+         WHEN lower(cls) LIKE '%email%' THEN 12 END AS up,
+    CASE WHEN tag <> 'input' THEN NULL
+         WHEN name = 'password' THEN 0 WHEN typ = 'password' THEN 1
+         WHEN eid = 'password' THEN 2
+         WHEN lower(eid) LIKE '%password%' THEN 3
+         WHEN lower(cls) LIKE '%password%' THEN 4
+         WHEN lower(placeholder) LIKE '%password%' THEN 5 END AS pp,
+    CASE WHEN tag = 'button' AND typ = 'submit' THEN 0
+         WHEN tag = 'input' AND typ = 'submit' THEN 1
+         WHEN tag = 'button' AND text LIKE '%Login%' THEN 2
+         WHEN tag = 'button' AND text LIKE '%Sign in%' THEN 3
+         WHEN tag = 'button' AND text LIKE '%Log in%' THEN 4
+         WHEN tag = 'button' AND text LIKE '%Submit%' THEN 5
+         WHEN tag = 'button' AND text LIKE '%Enter%' THEN 6
+         WHEN tag = 'button' AND lower(cls) LIKE '%submit%' THEN 7
+         WHEN tag = 'button' AND lower(cls) LIKE '%login%' THEN 8
+         WHEN tag = 'button' AND lower(eid) LIKE '%submit%' THEN 9
+         WHEN tag = 'button' AND lower(eid) LIKE '%login%' THEN 10
+         END AS sp
+  FROM e WHERE visible)
+SELECT page_url,
+       CAST(min(CAST(up AS BIGINT) * 1000000000 + element_index) % 1000000000 AS BIGINT)
+         AS username_idx,
+       CAST(min(CAST(pp AS BIGINT) * 1000000000 + element_index) % 1000000000 AS BIGINT)
+         AS password_idx,
+       CAST(min(CAST(sp AS BIGINT) * 1000000000 + element_index) % 1000000000 AS BIGINT)
+         AS submit_idx
+FROM pr GROUP BY page_url
 """,
         "lsh_ann": _lsh_ann_oracle(),
         "image_decode": f"""

@@ -16,8 +16,9 @@ edge arrays — all linear scans). Dense ids turn the sweep's two hash
 tables into direct-indexed arrays: the random-access working set for
 N nodes is ~8N bytes (mostly L3-resident) instead of the ~64N-byte
 open-addressing walk of the round-1 kernel, which was memory-bound at
-3-25 s per 10M edges. At >2^31 nodes the ids outgrow int32 — exactly
-the scale where the skeleton shards by seed branch anyway.
+3-25 s per 10M edges. At >2^31 nodes the ids outgrow int32 — past
+that scale the engine's implemented exact path is the distributed
+fixpoint strategy (engine/frontier.py:resolve), not this kernel.
 
 Two interchangeable implementations of the same sweep:
 

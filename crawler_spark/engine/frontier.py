@@ -620,10 +620,15 @@ class FrontierEngine:
         COMPACT skeleton: edges dictionary-encoded to int64 url-hashes
         JVM-side (~20 bytes/edge), pulled via Arrow, claimed with a
         single heap sweep (lazy-Dijkstra over priority vectors;
-        ~10 µs/claim). At 10^10 scale the skeleton itself shards by
-        seed-branch (claims under seed rank r never depend on later
-        seeds), keeping each sequential sweep bounded — documented
-        trade-off of the exact-ordering contract.
+        ~10 µs/claim). The sweep is the fast path whenever the
+        dense-id skeleton fits the driver (8 B/node state +
+        ~20 B/edge — ~1 TB at 10^10 edges, i.e. a fat driver node or
+        a sharded frontier); past that the IMPLEMENTED exact fallback
+        is strategy="fixpoint" below, which keeps resolution fully
+        distributed at worst-case-linear round cost. (Claims under
+        seed rank r never depend on later seeds, so an out-of-core
+        sweep could page branch-by-branch — a design note, not an
+        implemented path.)
 
         strategy="fixpoint": the distributed Jacobi full-recompute
         fixpoint (provably convergent — the k-th smallest true claim
@@ -984,12 +989,22 @@ class FrontierEngine:
     # ---- derived outputs ----
 
     def errors(self, visits: DataFrame) -> DataFrame:
-        """CrawlError rows (E9 categorization, crawler-engine.ts:
-        1704-1709): timeouts (status 0) and 404s among VISITED urls."""
+        """CrawlError rows (E9 categorization + P5 capture shape,
+        crawler-engine.ts:1704-1709 and 705-711): timeouts (status 0)
+        and 404s among VISITED urls, carried with the reference's full
+        error-record fields. `retry_attempts` is literal 0 because the
+        reference records every failure with retry_attempts: 0 and has
+        no retry loop (crawler-engine.ts:710) — the column exists so a
+        retrying fetch layer can fill it without a schema change."""
         return (visits.filter(F.col("status_code").isin(0, 404))
                 .select("url", "depth",
                         F.when(F.col("status_code") == 0, "timeout")
-                        .otherwise("404").alias("error_type")))
+                        .otherwise("404").alias("error_type"),
+                        F.when(F.col("status_code") == 0,
+                               F.lit("Navigation timeout"))
+                        .otherwise(F.lit("HTTP 404 Not Found"))
+                        .alias("error_message"),
+                        F.lit(0).alias("retry_attempts")))
 
     def image_refs(self, visits: DataFrame) -> DataFrame:
         """(page_url, src, caption) for visited, extracted pages —

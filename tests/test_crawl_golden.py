@@ -51,10 +51,14 @@ def test_engine_matches_oracle(spark, tmp_path, name):
     seen = {r["url"] for r in visits.select("url").collect()}
     assert seen == oracle.seen
 
-    # error rows (E9 categorization over visited pages)
-    errs = {(r["url"], r["error_type"])
-            for r in eng.errors(visits).collect()}
+    # error rows (E9 categorization + P5 CrawlError shape)
+    err_rows = eng.errors(visits).collect()
+    errs = {(r["url"], r["error_type"]) for r in err_rows}
     assert errs == {(e["url"], e["error_type"]) for e in oracle.errors}
+    # P5: reference records retry_attempts: 0 on every failure
+    # (crawler-engine.ts:710) and a non-empty message
+    assert all(r["retry_attempts"] == 0 and r["error_message"]
+               for r in err_rows)
 
     # image+caption refs of visited pages (E3)
     refs = {(r["page_url"], r["src"], r["caption"])
