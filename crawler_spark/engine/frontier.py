@@ -684,34 +684,71 @@ class FrontierEngine:
         # cores on both sides.
         skel_path = self._paths("skeleton")
         npart = max(self.spark.sparkContext.defaultParallelism, 4)
+        # node table: distinct node hashes (attempted urls ∪ seeds —
+        # every claimable node: a child the DFS can claim at depth ≤
+        # max_depth has BFS depth ≤ its DFS depth, so BFS admitted it
+        # into a frontier round; edges to deeper children are dead and
+        # marked id -1 below) with a DENSE int32 id assigned
+        # DISTRIBUTED: hash-partition by h, per-partition ordinal via
+        # a pid-local window, plus a per-partition offset from one
+        # tiny count pass — a DataFrame zipWithIndex (no RDD-API
+        # round-trip through Python serialization). Dense ids keep the
+        # sweep's random-access state at ~8 bytes/node (L3-resident)
+        # instead of an open-addressing hash walk, which was
+        # memory-bound at bench scale.
+        nodes_path = self._paths("nodes")
+        nodes = (self.frontier_table.read()
+                 .select(url_hash(F.col("url")).alias("h"))
+                 .unionByName(seeds.select(url_hash(F.col("url")).alias("h")))
+                 .distinct()
+                 .repartition(npart, "h")
+                 .sortWithinPartitions("h")
+                 .withColumn("pid", F.spark_partition_id())
+                 .localCheckpoint())  # pin partition ids across jobs
+        cnt = sorted((r["pid"], r["n"]) for r in
+                     nodes.groupBy("pid").agg(F.count("*").alias("n"))
+                     .collect())
+        offs, acc = [], 0
+        for pid, n_rows in cnt:
+            offs.append((pid, acc))
+            acc += n_rows
+        off_df = self.spark.createDataFrame(offs, "pid int, off long")
+        w_pid = Window.partitionBy("pid").orderBy("h")
+        (nodes.join(F.broadcast(off_df), "pid")
+         .select("h", (F.row_number().over(w_pid) - 1 + F.col("off"))
+                 .cast("int").alias("id"))
+         .write.mode("overwrite").parquet(nodes_path))
+        nodes_id = self.spark.read.parquet(nodes_path)
+        self.timings["nodes_write"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        # skeleton: edges dictionary-encoded to dense int32 ids
+        # DISTRIBUTED (two shuffle-hash joins against the node table —
+        # round 1 encoded on the driver with a C bsearch pass, which
+        # was the largest core-count-independent resolve step at bench
+        # scale: ~56-71 s at 80M edges). Children absent from the node
+        # table are BFS-unreachable within the depth cap, so the DFS
+        # can never claim them either: dead edges, id -1. A parent
+        # absent from the table cannot happen for engine-written edges
+        # (every fetched parent was a frontier row); the inner join
+        # drops such rows instead of corrupting a CSR slot. 12 B/edge
+        # on disk, parent-contiguous link-sorted within each part file
+        # — exactly the layout the CSR pass needs.
         (edges.select(
             url_hash(F.col("parent_url")).alias("p"),
             F.col("link_index").alias("i"),
             url_hash(F.col("child_url")).alias("c"))
-            .repartition(npart, "p")
-            .sortWithinPartitions("p", "i")
+            .join(nodes_id.hint("shuffle_hash")
+                  .select(F.col("h").alias("c"), F.col("id").alias("c_id")),
+                  "c", "left")
+            .join(nodes_id.hint("shuffle_hash")
+                  .select(F.col("h").alias("p"), F.col("id").alias("p_id")),
+                  "p", "inner")
+            .select("p_id", "i",
+                    F.coalesce("c_id", F.lit(-1)).cast("int").alias("c_id"))
+            .repartition(npart, "p_id")
+            .sortWithinPartitions("p_id", "i")
             .write.mode("overwrite").parquet(skel_path))
         self.timings["skeleton_write"] = round(time.time() - t0, 2)
-        t0 = time.time()
-        # node table: SORTED distinct node hashes (attempted urls ∪
-        # seeds — every claimable node: a child the DFS can claim at
-        # depth ≤ max_depth has BFS depth ≤ its DFS depth, so BFS
-        # admitted it into a frontier round; edges to deeper children
-        # are dead and marked id -1 below). Distributed distinct +
-        # range sort; part files concatenate globally sorted. The
-        # sorted hash array is the id dictionary: id(h) = its position
-        # — dense int32 ids keep the sweep's random-access state at
-        # ~8 bytes/node (L3-resident) instead of an open-addressing
-        # hash walk, which was memory-bound at bench scale.
-        nodes_path = self._paths("nodes")
-        (self.frontier_table.read()
-         .select(url_hash(F.col("url")).alias("h"))
-         .unionByName(seeds.select(url_hash(F.col("url")).alias("h")))
-         .distinct()
-         .repartitionByRange(npart, "h")
-         .sortWithinPartitions("h")
-         .write.mode("overwrite").parquet(nodes_path))
-        self.timings["nodes_write"] = round(time.time() - t0, 2)
         t0 = time.time()
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -727,80 +764,58 @@ class FrontierEngine:
                 parts = list(ex.map(pq.read_table, files))
             # explicit in-order concat: skeleton parts are
             # parent-hash-partitioned (each parent contiguous and
-            # link-sorted); node parts are range-partitioned (global
-            # sort by construction)
+            # link-sorted — all the CSR pass needs); node rows carry
+            # their id explicitly, so their order is irrelevant
             return pa.concat_tables(parts)
 
-        skel_t = read_dir(skel_path, {"p": pa.array([], pa.int64()),
+        skel_t = read_dir(skel_path, {"p_id": pa.array([], pa.int32()),
                                       "i": pa.array([], pa.int32()),
-                                      "c": pa.array([], pa.int64())})
-        node_sorted = (read_dir(nodes_path,
-                                {"h": pa.array([], pa.int64())})["h"]
-                       .to_numpy(zero_copy_only=False))
+                                      "c_id": pa.array([], pa.int32())})
+        node_t = read_dir(nodes_path, {"h": pa.array([], pa.int64()),
+                                       "id": pa.array([], pa.int32())})
         self.timings["skeleton_read"] = round(time.time() - t0, 2)
-        t0 = time.time()
-        # seeds sorted by prio string ≡ seed_rank order: the oracle
-        # crawls each seed's subtree to completion before the next
-        seed_rows = sorted(
-            seeds.select(url_hash(F.col("url")).alias("h"),
-                         "prio").collect(),
-            key=lambda r: r["prio"])
-        self.timings["seed_collect"] = round(time.time() - t0, 2)
         t0 = time.time()
         import numpy as np
 
+        # id → hash dictionary for the final rank→url handoff; a
+        # direct scatter, so driver-side file order never matters
+        n_nodes = len(node_t)
+        node_arr = np.empty(n_nodes, np.int64)
+        node_arr[node_t["id"].to_numpy(zero_copy_only=False)] = \
+            node_t["h"].to_numpy(zero_copy_only=False)
+        del node_t
+        # seeds sorted by prio string ≡ seed_rank order: the oracle
+        # crawls each seed's subtree to completion before the next;
+        # ids come from the same node table the edges were encoded
+        # against (tiny broadcast join, one collect)
+        seed_rows = sorted(
+            seeds.select(url_hash(F.col("url")).alias("h"), "prio")
+            .join(nodes_id, "h").collect(),
+            key=lambda r: r["prio"])
+        self.timings["seed_collect"] = round(time.time() - t0, 2)
+        t0 = time.time()
+
         from ..core.dfs_kernel import sweep
 
-        p_sorted = skel_t["p"].to_numpy(zero_copy_only=False)
+        p_ids = skel_t["p_id"].to_numpy(zero_copy_only=False)
         i_sorted = skel_t["i"].to_numpy(zero_copy_only=False)
-        c_sorted = skel_t["c"].to_numpy(zero_copy_only=False)
-        # CSR bounds over the pre-sorted parent column: O(n) vectorized
-        # run-length boundaries, no driver-side sort
-        if len(p_sorted):
-            brk = np.flatnonzero(p_sorted[1:] != p_sorted[:-1]) + 1
+        c_id = np.ascontiguousarray(
+            skel_t["c_id"].to_numpy(zero_copy_only=False), np.int32)
+        # CSR bounds over the parent-contiguous id column: O(n)
+        # vectorized run-length boundaries, no driver-side sort and —
+        # since the encode ran distributed in Spark — no driver-side
+        # dictionary pass at all
+        if len(p_ids):
+            brk = np.flatnonzero(p_ids[1:] != p_ids[:-1]) + 1
             starts = np.concatenate(([0], brk))
-            uniq_p = p_sorted[starts]
-            bounds = np.append(starts, len(p_sorted))
+            uniq_p_id = np.ascontiguousarray(p_ids[starts], np.int32)
+            bounds = np.append(starts, len(p_ids))
         else:
-            uniq_p = p_sorted
-            bounds = np.array([0], np.int64)
-        seed_h = np.array([int(r["h"]) for r in seed_rows], np.int64)
-        del skel_t, p_sorted
-
-        # Dictionary-encode hashes → dense int32 ids against the
-        # Spark-sorted node table (vectorized binary searches, O(E log
-        # N) sequential reads — the RANDOM accesses all move into the
-        # kernel's 8-byte/node direct-indexed state). Children absent
-        # from the table are BFS-unreachable within the depth cap, so
-        # the DFS can never claim them either: dead edges, id -1.
-        n_nodes = len(node_sorted)
-        if n_nodes:
-            from ..core.dfs_kernel import encode_ids
-
-            # C bsearch in GIL-free thread chunks (np.searchsorted was
-            # 11-15 s single-threaded at ~40M edges — the largest
-            # serial resolve step after the sweep itself)
-            c_id = encode_ids(c_sorted, node_sorted)
-            p_pos = np.minimum(np.searchsorted(node_sorted, uniq_p),
-                               n_nodes - 1)
-            p_found = node_sorted[p_pos] == uniq_p
-            if not bool(p_found.all()):
-                # defensive: a parent outside the node table (cannot
-                # happen for engine-written edges — every fetched
-                # parent was a frontier row) would corrupt another
-                # node's CSR slot; drop its rows instead.
-                keep = np.repeat(p_found, np.diff(bounds))
-                c_id, i_sorted = c_id[keep], i_sorted[keep]
-                bounds = np.concatenate(
-                    ([0], np.cumsum(np.diff(bounds)[p_found])))
-                p_pos = p_pos[p_found]
-            uniq_p_id = p_pos.astype(np.int32)
-            seed_id = np.searchsorted(node_sorted, seed_h).astype(np.int32)
-        else:
-            c_id = np.empty(0, np.int32)
             uniq_p_id = np.empty(0, np.int32)
-            seed_id = np.empty(0, np.int32)
-        self.timings["id_encode"] = round(time.time() - t0, 2)
+            bounds = np.array([0], np.int64)
+        seed_id = np.array([int(r["id"]) for r in seed_rows], np.int32)
+        del skel_t, p_ids
+        self.timings["csr_pass"] = round(time.time() - t0, 2)
         t0 = time.time()
 
         # The sweep claims in EXACT visit order, so the global visit
@@ -811,7 +826,7 @@ class FrontierEngine:
         n, out_id, out_depth, out_parent_rank, out_li, impl = sweep(
             c_id, i_sorted, uniq_p_id, bounds, seed_id, n_nodes,
             self.cfg.max_depth)
-        out_h = node_sorted[out_id] if n else np.empty(0, np.int64)
+        out_h = node_arr[out_id] if n else np.empty(0, np.int64)
         self.timings["dfs_sweep"] = round(time.time() - t0, 2)
         self.timings["sweep_impl"] = impl
         t0 = time.time()
