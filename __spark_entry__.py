@@ -1675,11 +1675,11 @@ pr AS (
          WHEN lower(placeholder) LIKE '%password%' THEN 5 END AS pp,
     CASE WHEN tag = 'button' AND typ = 'submit' THEN 0
          WHEN tag = 'input' AND typ = 'submit' THEN 1
-         WHEN tag = 'button' AND text LIKE '%Login%' THEN 2
-         WHEN tag = 'button' AND text LIKE '%Sign in%' THEN 3
-         WHEN tag = 'button' AND text LIKE '%Log in%' THEN 4
-         WHEN tag = 'button' AND text LIKE '%Submit%' THEN 5
-         WHEN tag = 'button' AND text LIKE '%Enter%' THEN 6
+         WHEN tag = 'button' AND lower(text) LIKE '%login%' THEN 2
+         WHEN tag = 'button' AND lower(text) LIKE '%sign in%' THEN 3
+         WHEN tag = 'button' AND lower(text) LIKE '%log in%' THEN 4
+         WHEN tag = 'button' AND lower(text) LIKE '%submit%' THEN 5
+         WHEN tag = 'button' AND lower(text) LIKE '%enter%' THEN 6
          WHEN tag = 'button' AND lower(cls) LIKE '%submit%' THEN 7
          WHEN tag = 'button' AND lower(cls) LIKE '%login%' THEN 8
          WHEN tag = 'button' AND lower(eid) LIKE '%submit%' THEN 9

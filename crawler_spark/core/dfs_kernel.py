@@ -268,7 +268,9 @@ def encode_ids(keys, table, n_threads: int = 16):
     sorted int64 `table`, -1 for misses. C kernel + thread-chunked
     (ctypes drops the GIL per call) when a toolchain exists;
     np.searchsorted fallback otherwise. Contract pinned against the
-    numpy path in tests."""
+    numpy path in tests. (The engine's skeleton encode moved into
+    distributed Spark joins — engine/frontier.py:_resolve_skeleton —
+    this stays as the driver-side utility for ad-hoc kernels.)"""
     keys = np.ascontiguousarray(keys, np.int64)
     table = np.ascontiguousarray(table, np.int64)
     n, n_nodes = len(keys), len(table)

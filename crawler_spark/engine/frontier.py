@@ -1037,6 +1037,123 @@ class FrontierEngine:
                         canonicalize_url(F.col("im.src")).alias("src"),
                         F.col("im.alt").alias("caption")))
 
+    def screenshots(self, visits: DataFrame, width: int = 64,
+                    height: int = 48) -> DataFrame:
+        """S6 screenshot sink rows (crawler-engine.ts:1591-1629;
+        full-page PNG per successfully processed page): one PNG per
+        visited, successfully-fetched page in the north-rule
+        image+caption row shape (image_id, bytes, w, h, fmt, caption,
+        phash). No browser exists in this container, so the pixel
+        render is the repo's deterministic stub (core/imaging.py
+        render_image keyed by the page url — the declared screenshot
+        stand-in); everything Spark-side is the real path: Arrow-
+        batched mapInPandas encode (one Python batch per partition,
+        never per-row), image_id = xxhash64(url) (no filesystem naming
+        games, SURVEY §2.1 S6), phash computed at write time so ST4 /
+        phash-dedup run downstream without re-decoding."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        fetched = (self.crawl_table.read(with_partition_columns=True)
+                   .filter(F.col("kind") == "page")
+                   .filter(F.col("title").isNotNull() &
+                           (F.col("status_code") != 0))
+                   .select(F.col("parent_url").alias("url"), "title")
+                   .distinct())
+        src = (visits.select("url", "url_hash", "visit_rank")
+               .join(fetched, "url"))
+        schema = T.StructType([
+            T.StructField("image_id", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("caption", T.StringType()),
+            T.StructField("phash", T.LongType()),
+            T.StructField("visit_rank", T.LongType()),
+        ])
+
+        def enc(it):
+            from ..core.imaging import phash64, png_encode, render_image
+            for pdf in it:
+                ids, blobs, caps, hashes, ranks = [], [], [], [], []
+                for uh, title, rank in zip(pdf["url_hash"], pdf["title"],
+                                           pdf["visit_rank"]):
+                    iid = f"shot-{int(uh) & 0xFFFFFFFFFFFFFFFF:016x}"
+                    px = render_image(iid, width, height)
+                    ids.append(iid)
+                    blobs.append(png_encode(px))
+                    caps.append(title)
+                    ph = phash64(px)
+                    hashes.append(ph - (1 << 64) if ph >= (1 << 63) else ph)
+                    ranks.append(int(rank))
+                yield pd.DataFrame({
+                    "image_id": ids, "bytes": blobs,
+                    "w": [width] * len(ids), "h": [height] * len(ids),
+                    "fmt": ["png"] * len(ids), "caption": caps,
+                    "phash": hashes, "visit_rank": ranks})
+
+        return src.mapInPandas(enc, schema)
+
+    def write_screenshots(self, visits: DataFrame) -> SnapshotTable:
+        """Commit S6 screenshot rows to the `screenshots` snapshot
+        table, idempotently (first-write-wins on image_id — re-running
+        after a resume never duplicates or replaces a page's shot,
+        mirroring the reference's screenshot-already-captured skip,
+        crawler-engine.ts:697-698)."""
+        tbl = SnapshotTable(self.spark,
+                            os.path.join(self.ckpt, "screenshots"))
+        tbl.insert_if_absent(self.screenshots(visits), ["image_id"],
+                             order_col="visit_rank")
+        return tbl
+
+    def html_capture(self, pages: DataFrame,
+                     url_col: str = "url",
+                     html_col: str = "html") -> SnapshotTable:
+        """S7 HTML/CSS capture sink (browser-session.ts:3308-3637):
+        per page, the sanitized HTML (E13: scripts/handlers stripped,
+        href/src absolutized) and the page CSS with url() refs
+        absolutized (E14), keyed by the url slug and committed
+        FIRST-WRITE-WINS (the reference skips capture when the slug's
+        files already exist, browser-session.ts:3400-3407) into the
+        `pages_html` snapshot table. `pages` must carry raw HTML (the
+        fetch stage's payload on a real cluster; fixture-rendered in
+        tests)."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from ..functions.urls import url_slug
+
+        schema = T.StructType([
+            T.StructField("slug", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("html", T.StringType()),
+            T.StructField("css", T.StringType()),
+        ])
+
+        def capture(it):
+            from ..core.html_parse import absolutize_css, parse_page
+            from ..operators.html import sanitize_html_str
+            for pdf in it:
+                slugs, urls, htmls, csss = [], [], [], []
+                for u, h, slug in zip(pdf["__u"], pdf["__h"],
+                                      pdf["__slug"]):
+                    slugs.append(slug)
+                    urls.append(u)
+                    htmls.append(sanitize_html_str(h, u))
+                    csss.append(absolutize_css(parse_page(h, u).css, u))
+                yield pd.DataFrame({"slug": slugs, "url": urls,
+                                    "html": htmls, "css": csss})
+
+        src = pages.select(F.col(url_col).alias("__u"),
+                           F.col(html_col).alias("__h"),
+                           url_slug(F.col(url_col)).alias("__slug"))
+        tbl = SnapshotTable(self.spark,
+                            os.path.join(self.ckpt, "pages_html"))
+        tbl.insert_if_absent(src.mapInPandas(capture, schema), ["slug"],
+                             order_col="url")
+        return tbl
+
     def run(self) -> DataFrame:
         self.explore()
         return self.resolve()

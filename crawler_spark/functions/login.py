@@ -177,19 +177,19 @@ def password_priority(tag: Column, typ: Column, name: Column,
 def submit_priority(tag: Column, typ: Column, text: Column,
                     eid: Column, cls: Column) -> Column:
     """Priority index into submitSelectors
-    (crawler-engine.ts:1136-1149). has-text() selectors in the
-    reference are case-sensitive exact phrases; kept that way."""
+    (crawler-engine.ts:1136-1149). Playwright's :has-text() matches
+    case-insensitively, so the text phrases compare lowercased."""
     tag_l = F.lower(tag)
     typ_l = F.lower(F.coalesce(typ, F.lit("")))
-    txt = F.coalesce(text.cast("string"), F.lit(""))
+    txt = F.lower(F.coalesce(text.cast("string"), F.lit("")))
     return (
         F.when((tag_l == "button") & (typ_l == "submit"), 0)
         .when((tag_l == "input") & (typ_l == "submit"), 1)
-        .when((tag_l == "button") & txt.contains("Login"), 2)
-        .when((tag_l == "button") & txt.contains("Sign in"), 3)
-        .when((tag_l == "button") & txt.contains("Log in"), 4)
-        .when((tag_l == "button") & txt.contains("Submit"), 5)
-        .when((tag_l == "button") & txt.contains("Enter"), 6)
+        .when((tag_l == "button") & txt.contains("login"), 2)
+        .when((tag_l == "button") & txt.contains("sign in"), 3)
+        .when((tag_l == "button") & txt.contains("log in"), 4)
+        .when((tag_l == "button") & txt.contains("submit"), 5)
+        .when((tag_l == "button") & txt.contains("enter"), 6)
         .when((tag_l == "button") & _contains(cls, "submit"), 7)
         .when((tag_l == "button") & _contains(cls, "login"), 8)
         .when((tag_l == "button") & _contains(eid, "submit"), 9)

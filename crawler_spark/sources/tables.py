@@ -185,6 +185,30 @@ class SnapshotTable:
         mani["current"] = sid
         self._commit(mani)
 
+    def insert_if_absent(self, updates: DataFrame, key_cols: list[str],
+                         order_col: str | None = None) -> None:
+        """MERGE INTO … WHEN NOT MATCHED THEN INSERT — first-write-wins
+        (the reference's exists-check skip on capture files,
+        browser-session.ts:3400-3407): keys already in the table keep
+        their ORIGINAL rows untouched; only unseen keys insert.
+        Duplicate keys within `updates` keep the SMALLEST `order_col`
+        (the first writer) when given, else a deterministic min."""
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(order_col).asc() if order_col
+            else F.struct(*[c for c in updates.columns
+                            if c not in key_cols]).asc())
+        updates = (updates.withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") == 1).drop("__rn"))
+        if not self.exists():
+            return self.overwrite(updates)
+        cur = self.read()
+        fresh = updates.select(*cur.columns).join(
+            cur.select(*key_cols).distinct(), key_cols, "left_anti")
+        mani = self._manifest()
+        sid = len(mani["snapshots"]) + 1
+        self._write_snapshot(cur.unionByName(fresh), "insert_if_absent",
+                             [f"snap-{sid:06d}"])
+
     def merge(self, updates: DataFrame, key_cols: list[str],
               order_col: str | None = None) -> None:
         """MERGE INTO … WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT:
