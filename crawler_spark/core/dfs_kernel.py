@@ -131,6 +131,27 @@ void encode_ids(int64_t n, const int64_t *keys, int64_t n_nodes,
         out[k] = (lo < n_nodes && table[lo] == key) ? (int32_t)lo : -1;
     }
 }
+
+/* CSR run-length boundaries over a parent-contiguous id column: one
+   linear branch-predictable pass. Writes run-start offsets into
+   starts[0..m-1], the run's parent id into uniq[0..m-1], returns m.
+   (The numpy flatnonzero/fancy-index formulation of the same pass
+   cost 4-17 s at 58M edges; this is ~0.1 s.) */
+int64_t csr_bounds(int64_t n, const int32_t *p,
+                   int32_t *uniq, int64_t *starts)
+{
+    int64_t m = 0;
+    int32_t prev = 0;
+    for (int64_t k = 0; k < n; k++) {
+        int32_t v = p[k];
+        if (k == 0 || v != prev) {
+            uniq[m] = v;
+            starts[m++] = k;
+            prev = v;
+        }
+    }
+    return m;
+}
 """
 
 _lib = None
@@ -181,6 +202,8 @@ def _load_lib():
         lib.encode_ids.restype = None
         lib.encode_ids.argtypes = [ctypes.c_int64, i64p,
                                    ctypes.c_int64, i64p, i32p]
+        lib.csr_bounds.restype = ctypes.c_int64
+        lib.csr_bounds.argtypes = [ctypes.c_int64, i32p, i32p, i64p]
         _lib = lib
     except Exception:  # noqa: BLE001 — no cc / sandboxed: fall back
         _lib = None
@@ -303,6 +326,33 @@ def encode_ids(keys, table, n_threads: int = 16):
         with ThreadPoolExecutor(min(n_threads, len(spans))) as ex:
             list(ex.map(lambda s: enc(*s), spans))
     return out
+
+
+def csr_runlength(p):
+    """Run-length CSR boundaries over a parent-contiguous int32 id
+    column: (uniq_p int32[m], bounds int64[m+1]) with bounds[j]..
+    bounds[j+1] spanning parent uniq_p[j]'s rows. C single-pass when a
+    toolchain exists (the numpy formulation cost 4-17 s at 58M edges),
+    vectorized numpy fallback otherwise; both pinned equal in tests."""
+    p = np.ascontiguousarray(p, np.int32)
+    n = len(p)
+    if n == 0:
+        return np.empty(0, np.int32), np.zeros(1, np.int64)
+    lib = _load_lib()
+    if lib is None:
+        brk = np.flatnonzero(p[1:] != p[:-1]) + 1
+        starts = np.concatenate(([0], brk))
+        return (np.ascontiguousarray(p[starts], np.int32),
+                np.append(starts, n).astype(np.int64))
+    uniq = np.empty(n, np.int32)
+    starts = np.empty(n + 1, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    m = lib.csr_bounds(n, p.ctypes.data_as(i32p),
+                       uniq.ctypes.data_as(i32p),
+                       starts.ctypes.data_as(i64p))
+    starts[m] = n
+    return uniq[:m].copy(), starts[:m + 1].copy()
 
 
 def sweep(c_sorted, i_sorted, uniq_p, starts, seeds, n_nodes, max_depth):

@@ -795,24 +795,17 @@ class FrontierEngine:
         self.timings["seed_collect"] = round(time.time() - t0, 2)
         t0 = time.time()
 
-        from ..core.dfs_kernel import sweep
+        from ..core.dfs_kernel import csr_runlength, sweep
 
         p_ids = skel_t["p_id"].to_numpy(zero_copy_only=False)
         i_sorted = skel_t["i"].to_numpy(zero_copy_only=False)
         c_id = np.ascontiguousarray(
             skel_t["c_id"].to_numpy(zero_copy_only=False), np.int32)
-        # CSR bounds over the parent-contiguous id column: O(n)
-        # vectorized run-length boundaries, no driver-side sort and —
-        # since the encode ran distributed in Spark — no driver-side
-        # dictionary pass at all
-        if len(p_ids):
-            brk = np.flatnonzero(p_ids[1:] != p_ids[:-1]) + 1
-            starts = np.concatenate(([0], brk))
-            uniq_p_id = np.ascontiguousarray(p_ids[starts], np.int32)
-            bounds = np.append(starts, len(p_ids))
-        else:
-            uniq_p_id = np.empty(0, np.int32)
-            bounds = np.array([0], np.int64)
+        # CSR bounds over the parent-contiguous id column: one linear
+        # C pass (kernel csr_bounds; numpy fallback pinned equal in
+        # tests). Since the encode ran distributed in Spark, this is
+        # the only driver-side pass over the edge set before the sweep
+        uniq_p_id, bounds = csr_runlength(p_ids)
         seed_id = np.array([int(r["id"]) for r in seed_rows], np.int32)
         del skel_t, p_ids
         self.timings["csr_pass"] = round(time.time() - t0, 2)

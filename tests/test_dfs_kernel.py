@@ -127,3 +127,29 @@ def test_dead_edges_skipped():
                                np.array([0], np.int32), 2, 8)
     assert h.tolist() == [0, 1]
     assert li.tolist() == [-1, 1]
+
+
+def test_csr_runlength_matches_numpy():
+    import numpy as np
+
+    from crawler_spark.core.dfs_kernel import _load_lib, csr_runlength
+
+    rng = np.random.default_rng(7)
+    # parent-contiguous column with variable run lengths, incl. runs
+    # of 1 and a repeat of an earlier id later (distinct runs)
+    p = np.repeat(rng.integers(0, 500, 200).astype(np.int32),
+                  rng.integers(1, 9, 200))
+    uniq, bounds = csr_runlength(p)
+    brk = np.flatnonzero(p[1:] != p[:-1]) + 1
+    starts = np.concatenate(([0], brk))
+    assert (uniq == p[starts]).all()
+    assert (bounds == np.append(starts, len(p))).all()
+    assert bounds.dtype == np.int64 and uniq.dtype == np.int32
+    # reconstruction: every run spans a constant id
+    for j in range(len(uniq)):
+        assert (p[bounds[j]:bounds[j + 1]] == uniq[j]).all()
+    # empty input
+    u0, b0 = csr_runlength(np.empty(0, np.int32))
+    assert len(u0) == 0 and list(b0) == [0]
+    # the C path must actually be exercised in this environment
+    assert _load_lib() is not None
