@@ -16,7 +16,7 @@ scheme+host lowercased, empty path → ``/``, default port dropped.
 
 The Spark-native equivalent (pure column expressions, no Python in the
 hot path) lives in ``crawler_spark.functions.urls.canonicalize_url``;
-``tests/test_url_canonical.py`` asserts both agree on every URL form in
+``tests/test_core_kernel.py`` asserts both agree on every URL form in
 the fixtures.
 """
 

@@ -6,7 +6,7 @@ expression tree: fragment drop, stable query-param sort by key,
 trailing-slash strip, lowercased scheme/host, default-port drop,
 passthrough on unparsable input. Exact parity with the pure-Python
 reference semantics (crawler_spark.core.urls.canonicalize_url) is
-asserted in tests/test_url_canonical.py over the full fixture URL
+asserted in tests/test_core_kernel.py over the full fixture URL
 corpus.
 
 Being native expressions these stay inside whole-stage codegen and run
