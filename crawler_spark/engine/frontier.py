@@ -634,8 +634,13 @@ class FrontierEngine:
         fixpoint (provably convergent — the k-th smallest true claim
         is stable after round k — but worst-case linear rounds;
         measured 155 rounds on a 50k-page random web). Kept for
-        cross-checking (tests assert both agree) and as the basis of
-        the certified-finalized-prefix variant."""
+        cross-checking (tests assert both agree) and because it is
+        the implemented exact path past driver memory. Each round it
+        records a CERTIFIED-FINALIZED PREFIX in `resolve_certified`
+        — claims with prio strictly below the smallest prio that
+        changed this round are provably final (see the in-loop
+        argument) — so a streaming consumer can emit the visit order
+        incrementally while the tail converges."""
         # edges are admissible-by-construction (admission is fused
         # into the explore-side edge write — scheme/domain/robots run
         # exactly once per edge, there), so resolve needs no second
@@ -898,6 +903,7 @@ class FrontierEngine:
         cfg = self.cfg
         claims = seeds
         self.resolve_deltas: list[int] = []
+        self.resolve_certified: list[dict] = []
         # Convergence: the k-th smallest true claim is stable after
         # round k (transient claims below it need transient parents
         # with even smaller prios, grounded in the always-true seeds),
@@ -927,10 +933,34 @@ class FrontierEngine:
                                        "link_index"), F.col("prio")).alias("c"))
                 .select("url", "c.prio", "c.depth", "c.parent_url",
                         "c.link_index")).localCheckpoint()
-            delta = (new_claims.select("url", "prio")
-                     .exceptAll(claims.select("url", "prio")).count()
-                     + claims.select("url", "prio")
-                     .exceptAll(new_claims.select("url", "prio")).count())
+            d_new = (new_claims.select("url", "prio")
+                     .exceptAll(claims.select("url", "prio")))
+            d_old = (claims.select("url", "prio")
+                     .exceptAll(new_claims.select("url", "prio")))
+            ch = (d_new.unionByName(d_old)
+                  .agg(F.count("*").alias("n"),
+                       F.min("prio").alias("minp")).collect()[0])
+            delta = ch["n"]
+            # CERTIFIED-FINALIZED PREFIX: every claim whose prio is
+            # strictly below the smallest prio that changed this round
+            # is provably final. (Label-correcting argument: a future
+            # improvement p' < minp would extend a parent whose prio
+            # is a proper prefix of p' — hence also < minp — so the
+            # parent is final and unchanged; full-recompute Jacobi
+            # re-applies ALL edges from it every round, so p' was
+            # already offered and min-combined this round.) The engine
+            # records (minp, count, checksum) per round — a streaming
+            # consumer may emit exactly that prefix of the visit order
+            # while the tail still converges; tests re-derive each
+            # prefix from the converged claims and pin the checksums.
+            cert_pred = (F.lit(True) if ch["minp"] is None
+                         else F.col("prio") < ch["minp"])
+            cert = (new_claims.filter(cert_pred)
+                    .agg(F.count("*").alias("n"),
+                         F.coalesce(F.bit_xor(F.xxhash64("url", "prio")), F.lit(0)).alias("chk")).collect()[0])
+            self.resolve_certified.append(
+                {"minp": ch["minp"], "n": int(cert["n"]),
+                 "chk": int(cert["chk"])})
             claims = new_claims
             self.last_resolve_iters = it + 1
             self.resolve_deltas.append(delta)

@@ -76,9 +76,29 @@ def test_fixpoint_matches_skeleton(spark, tmp_path):
     eng.explore()
     a = {(r["url"], r["prio"], r["depth"], r["parent_url"], r["link_index"])
          for r in eng.resolve(strategy="skeleton").collect()}
+    fix = eng.resolve(strategy="fixpoint")
     b = {(r["url"], r["prio"], r["depth"], r["parent_url"], r["link_index"])
-         for r in eng.resolve(strategy="fixpoint").collect()}
+         for r in fix.collect()}
     assert a == b
+
+    # certified-finalized prefixes: each round's record must equal the
+    # CONVERGED claims filtered to prio < minp — count AND checksum —
+    # i.e. the prefix the engine certified mid-convergence really was
+    # final. Prefix sizes are nondecreasing and end at the full set.
+    from pyspark.sql import functions as F
+    final = fix.select("url", "prio").cache()
+    total = final.count()
+    ns = [c["n"] for c in eng.resolve_certified]
+    assert ns == sorted(ns) and ns[-1] == total
+    assert len(eng.resolve_certified) == eng.last_resolve_iters
+    for rec in eng.resolve_certified:
+        pred = (F.lit(True) if rec["minp"] is None
+                else F.col("prio") < rec["minp"])
+        row = (final.filter(pred)
+               .agg(F.count("*").alias("n"),
+                    F.coalesce(F.bit_xor(F.xxhash64("url", "prio")), F.lit(0)).alias("chk")).collect()[0])
+        assert (int(row["n"]), int(row["chk"])) == (rec["n"], rec["chk"])
+    final.unpersist()
 
 
 def test_resume_mid_crawl(spark, tmp_path):
