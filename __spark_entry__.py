@@ -952,6 +952,44 @@ def q_login_form_fields(spark, sf_dir):
     return pick_form_fields(e)
 
 
+def q_login_outcome(spark, sf_dir):
+    """P4 login success/error verification: per page, ANY success
+    indicator wins, else the FIRST error indicator's text, else
+    'unclear' (checkLoginSuccess, crawler-engine.ts:1277-1334)."""
+    from crawler_spark.functions.login import (is_login_error_indicator,
+                                               is_login_success_indicator,
+                                               login_outcome)
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    tag = (F.when(k % 3 == 0, "button")
+           .when(k % 3 == 1, "a").otherwise("div"))
+    text = (F.when(k % 11 == 0, "Logout")
+            .when(k % 11 == 1, "Sign out now")
+            .when(k % 11 == 2, "Invalid credentials")
+            .when(k % 11 == 3, "Login Failed!")
+            .otherwise(F.concat(F.lit("item "), k.cast("string"))))
+    cls = (F.when(k % 13 == 0, "dashboard-main")
+           .when(k % 13 == 1, "profile pic")
+           .when(k % 13 == 2, "error")
+           .when(k % 13 == 3, "alert-error")
+           .when(k % 13 == 4, "error-banner")
+           .otherwise(F.concat(F.lit("c"), k.cast("string"))))
+    testid = F.when(k % 17 == 0, "user-menu-button").otherwise("")
+    aria = F.when(k % 19 == 0, "main user menu").otherwise("")
+    e = o.select(
+        F.concat(F.lit("https://site/o"), (k % 61).cast("string"))
+        .alias("page_url"),
+        k.cast("long").alias("element_index"),
+        tag.alias("tag"), text.alias("text"), cls.alias("cls"),
+        testid.alias("data_testid"), aria.alias("aria_label"))
+    e = (e.withColumn("is_success", is_login_success_indicator(
+            F.col("tag"), F.col("text"), F.col("cls"),
+            F.col("data_testid"), F.col("aria_label")))
+         .withColumn("is_error", is_login_error_indicator(
+            F.col("cls"), F.col("text"))))
+    return login_outcome(e)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl-core operator analogs (SURVEY.md §2)
@@ -990,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "screenshot_dedup": q_screenshot_dedup,
         "login_detect": q_login_detect,
         "login_form_fields": q_login_form_fields,
+        "login_outcome": q_login_outcome,
         "frontier_crawl": q_frontier_crawl,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
@@ -1694,6 +1733,52 @@ SELECT page_url,
        CAST(min(CAST(sp AS BIGINT) * 1000000000 + element_index) % 1000000000 AS BIGINT)
          AS submit_idx
 FROM pr GROUP BY page_url
+""",
+        "login_outcome": """
+WITH e AS (
+  SELECT 'https://site/o' || (o_orderkey % 61) AS page_url,
+         CAST(o_orderkey AS BIGINT) AS element_index,
+         CASE o_orderkey % 3 WHEN 0 THEN 'button'
+              WHEN 1 THEN 'a' ELSE 'div' END AS tag,
+         CASE o_orderkey % 11 WHEN 0 THEN 'Logout'
+              WHEN 1 THEN 'Sign out now'
+              WHEN 2 THEN 'Invalid credentials'
+              WHEN 3 THEN 'Login Failed!'
+              ELSE 'item ' || o_orderkey END AS text,
+         CASE o_orderkey % 13 WHEN 0 THEN 'dashboard-main'
+              WHEN 1 THEN 'profile pic' WHEN 2 THEN 'error'
+              WHEN 3 THEN 'alert-error' WHEN 4 THEN 'error-banner'
+              ELSE 'c' || o_orderkey END AS cls,
+         CASE WHEN o_orderkey % 17 = 0 THEN 'user-menu-button'
+              ELSE '' END AS data_testid,
+         CASE WHEN o_orderkey % 19 = 0 THEN 'main user menu'
+              ELSE '' END AS aria_label
+  FROM orders),
+flagged AS (
+  SELECT *,
+    ((tag IN ('button','a') AND (lower(text) LIKE '%logout%'
+                                 OR lower(text) LIKE '%sign out%'))
+     OR cls LIKE '%dashboard%' OR cls LIKE '%profile%'
+     OR data_testid LIKE '%user-menu%'
+     OR aria_label LIKE '%user menu%') AS is_success,
+    (cls LIKE '%error%'
+     OR lower(text) LIKE '%invalid credentials%'
+     OR lower(text) LIKE '%login failed%'
+     OR lower(text) LIKE '%incorrect password%'
+     OR lower(text) LIKE '%user not found%') AS is_error
+  FROM e),
+agg AS (
+  SELECT page_url, bool_or(is_success) AS ok,
+         min(CASE WHEN is_error THEN element_index END) AS first_err
+  FROM flagged GROUP BY page_url)
+SELECT a.page_url,
+       CASE WHEN a.ok THEN 'success'
+            WHEN a.first_err IS NOT NULL THEN 'error'
+            ELSE 'unclear' END AS outcome,
+       CASE WHEN NOT a.ok AND a.first_err IS NOT NULL
+            THEN f.text END AS error_detail
+FROM agg a LEFT JOIN flagged f
+  ON f.page_url = a.page_url AND f.element_index = a.first_err
 """,
         "lsh_ann": _lsh_ann_oracle(),
         "image_decode": f"""

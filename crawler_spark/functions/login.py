@@ -223,3 +223,63 @@ def pick_form_fields(elements: DataFrame, page_col: str = "page_url",
                     F.col("u.i").alias("username_idx"),
                     F.col("p.i").alias("password_idx"),
                     F.col("s.i").alias("submit_idx")))
+
+
+# ---- login outcome verification (crawler-engine.ts:1277-1341) ----
+
+def is_login_success_indicator(tag: Column, text: Column, cls: Column,
+                               data_testid: Column,
+                               aria_label: Column) -> Column:
+    """successIndicators (crawler-engine.ts:1280-1289): logout /
+    sign-out buttons or links (:has-text is case-insensitive),
+    dashboard/profile class fragments, user-menu test ids, user-menu
+    aria labels (attribute substring selectors are case-sensitive)."""
+    txt = F.lower(F.coalesce(text.cast("string"), F.lit("")))
+    cls_s = F.coalesce(cls.cast("string"), F.lit(""))
+    return ((F.lower(tag).isin("button", "a")
+             & (txt.contains("logout") | txt.contains("sign out")))
+            | cls_s.contains("dashboard") | cls_s.contains("profile")
+            | F.coalesce(data_testid.cast("string"), F.lit(""))
+            .contains("user-menu")
+            | F.coalesce(aria_label.cast("string"), F.lit(""))
+            .contains("user menu"))
+
+
+def is_login_error_indicator(cls: Column, text: Column) -> Column:
+    """errorIndicators (crawler-engine.ts:1292-1300). The three class
+    selectors (.error, .alert-error, [class*=error]) all reduce to the
+    substring test — 'error' is a substring of both token forms; the
+    text= matchers are Playwright case-insensitive substrings."""
+    txt = F.lower(F.coalesce(text.cast("string"), F.lit("")))
+    return (F.coalesce(cls.cast("string"), F.lit("")).contains("error")
+            | txt.contains("invalid credentials")
+            | txt.contains("login failed")
+            | txt.contains("incorrect password")
+            | txt.contains("user not found"))
+
+
+def login_outcome(elements: DataFrame, page_col: str = "page_url",
+                  index_col: str = "element_index",
+                  text_col: str = "text") -> DataFrame:
+    """Per-page login verdict (checkLoginSuccess,
+    crawler-engine.ts:1277-1334): ANY success indicator wins (the
+    reference returns on the first success hit before ever scanning
+    for errors), else the FIRST error indicator in DOM order supplies
+    the error detail (`errors.first().textContent()`), else
+    'unclear'. `elements` must carry `is_success` / `is_error`
+    booleans (build them with the two predicates above). One hash
+    aggregation per page — no window, no second scan."""
+    first_err = F.min(F.when(
+        F.col("is_error"),
+        F.struct(F.col(index_col).cast("long").alias("i"),
+                 F.col(text_col).alias("t"))))
+    agg = (elements.groupBy(page_col)
+           .agg(F.max(F.col("is_success")).alias("ok"),
+                first_err.alias("err")))
+    return agg.select(
+        page_col,
+        F.when(F.col("ok"), "success")
+        .when(F.col("err").isNotNull(), "error")
+        .otherwise("unclear").alias("outcome"),
+        F.when(~F.col("ok") & F.col("err").isNotNull(),
+               F.col("err.t")).alias("error_detail"))

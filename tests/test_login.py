@@ -107,3 +107,43 @@ def test_form_field_priority_beats_dom_order(spark):
     [r] = pick_form_fields(e).collect()
     assert (r["username_idx"], r["password_idx"], r["submit_idx"]) == \
         (9, 5, 8)
+
+
+def test_login_outcome_reference_semantics(spark):
+    """checkLoginSuccess (crawler-engine.ts:1277-1334): success
+    indicators are scanned FIRST and short-circuit (a page with both a
+    dashboard element and an error banner reports success); otherwise
+    the first error element in DOM order supplies the detail text."""
+    from crawler_spark.functions.login import (is_login_error_indicator,
+                                               is_login_success_indicator,
+                                               login_outcome)
+    rows = [
+        # page s: error banner at index 0 AND dashboard at 5 → success
+        ("s", 0, "div", "Login failed", "alert-error", "", ""),
+        ("s", 5, "div", "home", "dashboard-wrap", "", ""),
+        # page e: two error elements → first one's text is the detail
+        ("e", 3, "div", "Incorrect password", "c", "", ""),
+        ("e", 1, "p", "boom", "error", "", ""),
+        # page u: nothing matches → unclear
+        ("u", 0, "div", "hello", "c", "", ""),
+        # page a: aria-label user menu (case-sensitive attr substring)
+        ("a", 2, "div", "x", "c", "", "main user menu"),
+        # page n: 'Sign out' text on a DIV is NOT a success indicator
+        # (the reference only queries button/a for logout text)
+        ("n", 0, "div", "Sign out", "c", "", ""),
+    ]
+    e = spark.createDataFrame(
+        [dict(zip(("page_url", "element_index", "tag", "text", "cls",
+                   "data_testid", "aria_label"), r)) for r in rows])
+    e = (e.withColumn("is_success", is_login_success_indicator(
+            F.col("tag"), F.col("text"), F.col("cls"),
+            F.col("data_testid"), F.col("aria_label")))
+         .withColumn("is_error", is_login_error_indicator(
+            F.col("cls"), F.col("text"))))
+    got = {r["page_url"]: (r["outcome"], r["error_detail"])
+           for r in login_outcome(e).collect()}
+    assert got == {"s": ("success", None),
+                   "e": ("error", "boom"),
+                   "u": ("unclear", None),
+                   "a": ("success", None),
+                   "n": ("unclear", None)}
