@@ -793,28 +793,70 @@ def q_image_thumbnail(spark, sf_dir):
 
 
 def q_audio_features(spark, sf_dir):
-    """Multimodal stub plumbing: opaque binary payloads through the
-    Arrow-batched feature extractor (decode is a deterministic fake —
-    no audio libs in this container; the Spark-side shape is real)."""
-    payload = _images(spark).select(F.col("image_id").alias("sample_id"),
-                                    "bytes")
-    # driver output restricted to the metadata-checkable column
-    # (n_samples = payload bytes as int8 samples); the rms/peak math
-    # is pinned by tests/test_images.py — DuckDB 1.0 cannot index
-    # into BLOBs, so it cannot recompute a byte-wise rms
-    return (audio_features(payload)
-            .select("sample_id",
-                    F.col("n_samples").cast("long").alias("n_samples")))
+    """REAL audio pipeline: per-nation square-wave PCM16 → RIFF/WAV
+    encode → distributed WAV parse + numpy DSP (operators/multimodal
+    audio_features). Square waves make every feature closed-form, so
+    the DuckDB oracle recomputes rms/peak/zero-crossings EXACTLY
+    (integer-scaled) from the generation parameters alone — the
+    decode+DSP path is fully oracle-checked, not rows-only."""
+    n_t = _t(spark, sf_dir, "nation").select("n_nationkey")
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        from crawler_spark.core.audio import wav_encode
+        for pdf in it:
+            ids, blobs = [], []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                amp, half, n = 1000 + k * 700, 1 + k % 7, 500 + k * 37
+                i = np.arange(n)
+                s = np.where((i // half) % 2 == 0, amp, -amp)
+                ids.append(f"n{k}")
+                blobs.append(wav_encode(s.astype(np.int16), 8000))
+            yield pd.DataFrame({"sample_id": ids, "bytes": blobs})
+
+    payload = n_t.mapInPandas(gen, "sample_id string, bytes binary")
+    return audio_features(payload).select(
+        "sample_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("zero_crossings").cast("long").alias("zero_crossings"),
+        F.round(F.col("peak") * 32768).cast("long").alias("peak_i"),
+        F.round(F.col("rms") * 32768).cast("long").alias("rms_i"))
 
 
 def q_frame_sample(spark, sf_dir):
-    """Multimodal stub plumbing: one-to-many frame sampling over
-    binary payloads (fake fixed-size frames; real ffmpeg would slot
-    into the same mapInPandas shape)."""
-    payload = _images(spark).select(F.col("image_id").alias("video_id"),
-                                    "bytes")
-    return (frame_sample(payload, every_n=10)
-            .groupBy("video_id").agg(F.count("*").alias("n_frames")))
+    """REAL video pipeline: per-supplier M-PNG containers of rendered
+    PNG frames → distributed demux + every-2nd-frame sample + real
+    PNG decode (frame dims ride out). Frame indices/counts/dims are
+    closed-form, so the oracle checks the demux+decode exactly."""
+    s_t = _t(spark, sf_dir, "supplier").select("s_suppkey")
+
+    def gen(it):
+        import pandas as pd
+
+        from crawler_spark.core.audio import mpng_encode
+        from crawler_spark.core.imaging import png_encode, render_image
+        for pdf in it:
+            ids, blobs = [], []
+            for k in pdf["s_suppkey"]:
+                k = int(k)
+                total = 3 + k % 9
+                frames = [png_encode(render_image(f"v{k}-f{i}", 8, 6))
+                          for i in range(total)]
+                ids.append(f"v{k}")
+                blobs.append(mpng_encode(frames))
+            yield pd.DataFrame({"video_id": ids, "bytes": blobs})
+
+    payload = s_t.mapInPandas(gen, "video_id string, bytes binary")
+    return frame_sample(payload, every_n=2).select(
+        "video_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("frame_w").cast("long").alias("frame_w"),
+        F.col("frame_h").cast("long").alias("frame_h"))
 
 
 # ---------------------------------------------------------------------------
@@ -1790,16 +1832,29 @@ SELECT image_id, CAST(16 AS BIGINT) AS thumb_w,
        CAST(16 AS BIGINT) AS thumb_h, mean_luma
 FROM read_parquet('{_IMG_FIXTURES}')
 """,
-        "audio_features": f"""
-SELECT image_id AS sample_id, CAST(octet_length(bytes) AS BIGINT)
-           AS n_samples
-FROM read_parquet('{_IMG_FIXTURES}')
+        # closed-form twins of the REAL WAV-decode + DSP outputs: a
+        # square wave of amplitude A and half-period h over n samples
+        # has rms = peak = A/32768 exactly (all-|A| samples; every
+        # float step exact in binary), and crossings at each multiple
+        # of h in [1, n-1] -> (n-1) // h
+        "audio_features": """
+SELECT 'n' || n_nationkey AS sample_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(500 + n_nationkey * 37 AS BIGINT) AS n_samples,
+       CAST((500 + n_nationkey * 37 - 1) // (1 + n_nationkey % 7)
+            AS BIGINT) AS zero_crossings,
+       CAST(1000 + n_nationkey * 700 AS BIGINT) AS peak_i,
+       CAST(1000 + n_nationkey * 700 AS BIGINT) AS rms_i
+FROM nation
 """,
-        "frame_sample": f"""
-SELECT image_id AS video_id,
-       CAST(ceil((octet_length(bytes) // 64) / 10.0) AS BIGINT) AS n_frames
-FROM read_parquet('{_IMG_FIXTURES}')
-WHERE octet_length(bytes) >= 64
+        "frame_sample": """
+SELECT 'v' || s_suppkey AS video_id,
+       CAST(unnest(range(0, 3 + s_suppkey % 9, 2)) AS BIGINT)
+         AS frame_index,
+       CAST(3 + s_suppkey % 9 AS BIGINT) AS n_frames,
+       CAST(8 AS BIGINT) AS frame_w,
+       CAST(6 AS BIGINT) AS frame_h
+FROM supplier
 """,
         # minhash_lsh / simhash_pairs / winnow / ivf_ann:
         # hash-seeded chains DuckDB can't replicate bit-exactly

@@ -1,11 +1,11 @@
 """Multimodal column plumbing: opaque binary payloads (image / audio /
 video) with typed metadata, processed in Arrow-batched ``mapInPandas``
-stages. The *Spark-side* shape — schemas, batch iteration, partition
-preservation, deterministic outputs — is fully real and tested; the
-codec layer is real for PNG (crawler_spark.core.imaging) and STUBBED
-behind deterministic fakes where this container lacks the media libs
-(jpeg/webp via the tagged fake-lossy container; audio/video decode
-raise NotImplementedError unless the deterministic-fake flag is set).
+stages. The codec layer is REAL for PNG (crawler_spark.core.imaging),
+RIFF/WAV PCM16 audio and the M-PNG frame container
+(crawler_spark.core.audio — stdlib parsing + numpy DSP, no external
+libs needed); only genuinely-external codecs (jpeg/webp via the
+tagged fake-lossy container, mp3/aac/h264) are out of reach in this
+container and surface as typed errors rather than stub outputs.
 
 Reference surface: screenshot bytes handling
 (/root/reference/lib/recorder/browser-session.ts:2531-2654: clip
@@ -60,65 +60,83 @@ def thumbnail(images: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
 
 
 # deterministic-fake gate for codecs absent in this container
-_FAKE_MEDIA = True  # real libs absent; see module docstring
-
-
 def audio_features(audio: DataFrame, payload_col: str = "bytes") -> DataFrame:
-    """STUB audio feature extraction: the real decode (libsndfile /
-    ffmpeg) is unavailable here. With the deterministic fake, the
-    'waveform' is the byte string interpreted as int8 samples — the
-    Spark plumbing (schema, batches, aggregation) is identical to the
-    real thing. Raises NotImplementedError when fakes are disabled."""
-    if not _FAKE_MEDIA:
-        raise NotImplementedError("real audio codecs not available")
+    """REAL audio feature extraction over RIFF/WAVE PCM16 payloads:
+    stdlib WAV chunk parsing + numpy DSP (RMS, peak, exact
+    zero-crossing count, rFFT spectral centroid) in Arrow batches —
+    core/audio.py. Compressed codecs (mp3/aac) genuinely need libs
+    this container lacks; those rows surface as error_msg instead of
+    features (ValueError from the parser), which is the honest
+    boundary — the WAV path is real signal processing end-to-end."""
     schema = StructType([
         StructField("sample_id", StringType()),
+        StructField("sample_rate", IntegerType()),
         StructField("n_samples", IntegerType()),
         StructField("rms", DoubleType()),
         StructField("peak", DoubleType()),
+        StructField("zero_crossings", IntegerType()),
+        StructField("centroid_hz", DoubleType()),
+        StructField("error_msg", StringType()),
     ])
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.audio import audio_feature_vector, wav_decode
         for pdf in it:
             rows = []
             for sid, data in zip(pdf["sample_id"], pdf[payload_col]):
-                wav = np.frombuffer(bytes(data), np.int8).astype(np.float64)
-                rows.append((sid, len(wav),
-                             round(float(np.sqrt((wav ** 2).mean())), 4)
-                             if len(wav) else 0.0,
-                             float(np.abs(wav).max()) if len(wav) else 0.0))
-            yield pd.DataFrame(rows, columns=["sample_id", "n_samples",
-                                              "rms", "peak"])
+                try:
+                    samples, sr = wav_decode(bytes(data))
+                    f = audio_feature_vector(samples, sr)
+                    rows.append((sid, f["sample_rate"], f["n_samples"],
+                                 f["rms"], f["peak"],
+                                 f["zero_crossings"], f["centroid_hz"],
+                                 None))
+                except ValueError as e:
+                    rows.append((sid, None, None, None, None, None,
+                                 None, str(e)))
+            yield pd.DataFrame(rows, columns=[
+                "sample_id", "sample_rate", "n_samples", "rms", "peak",
+                "zero_crossings", "centroid_hz", "error_msg"])
 
     return audio.mapInPandas(run, schema)
 
 
 def frame_sample(video: DataFrame, every_n: int = 10,
                  payload_col: str = "bytes") -> DataFrame:
-    """STUB video frame sampling: treats the payload as a
-    concatenation of fixed-size fake 'frames' (64 bytes each) and
-    emits every n-th — the real ffmpeg demux would slot into the same
-    mapInPandas one-to-many shape (one input row → many frame rows)."""
-    if not _FAKE_MEDIA:
-        raise NotImplementedError("real video codecs not available")
+    """REAL video frame sampling over the M-PNG container
+    (core/audio.py: length-prefixed PNG frames, a motion-JPEG-style
+    concatenation): demux the container, keep every n-th frame,
+    DECODE it with the repo PNG codec and emit bytes + dimensions +
+    mean luma — the one-row-in/many-rows-out mapInPandas shape an
+    ffmpeg demuxer would feed identically; only the per-frame codec
+    (PNG, in-repo) differs from compressed deployments."""
     schema = StructType([
         StructField("video_id", StringType()),
         StructField("frame_index", IntegerType()),
+        StructField("n_frames", IntegerType()),
         StructField("frame_bytes", BinaryType()),
+        StructField("frame_w", IntegerType()),
+        StructField("frame_h", IntegerType()),
+        StructField("mean_luma", DoubleType()),
     ])
-    frame_sz = 64
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.audio import mpng_decode
+        from ..core.imaging import png_decode
         for pdf in it:
-            vids, idxs, frames = [], [], []
+            rows = []
             for vid, data in zip(pdf["video_id"], pdf[payload_col]):
-                raw = bytes(data)
-                for i in range(0, len(raw) // frame_sz, every_n):
-                    vids.append(vid)
-                    idxs.append(i)
-                    frames.append(raw[i * frame_sz:(i + 1) * frame_sz])
-            yield pd.DataFrame({"video_id": vids, "frame_index": idxs,
-                                "frame_bytes": frames})
+                frames = mpng_decode(bytes(data))
+                for i in range(0, len(frames), every_n):
+                    px = png_decode(frames[i])
+                    gray = (px.astype(np.float64)
+                            @ np.array([0.299, 0.587, 0.114]))
+                    rows.append((vid, i, len(frames), frames[i],
+                                 px.shape[1], px.shape[0],
+                                 round(float(gray.mean()), 4)))
+            yield pd.DataFrame(rows, columns=[
+                "video_id", "frame_index", "n_frames", "frame_bytes",
+                "frame_w", "frame_h", "mean_luma"])
 
     return video.mapInPandas(run, schema)
 
