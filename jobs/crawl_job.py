@@ -43,6 +43,9 @@ def main() -> None:
                     help="enforce per-host caps per explore round")
     ap.add_argument("--bloom", action="store_true",
                     help="bloom pre-filter on the frontier anti-join")
+    ap.add_argument("--screenshots", action="store_true",
+                    help="commit the S6 per-page screenshot table "
+                         "(idempotent, first-write-wins on image_id)")
     ap.add_argument("--cores", type=int, default=0,
                     help="local[N]; 0 = let spark-submit decide")
     args = ap.parse_args()
@@ -78,6 +81,8 @@ def main() -> None:
         os.path.join(args.out, "errors"))
     eng.image_refs(visits).write.mode("overwrite").parquet(
         os.path.join(args.out, "image_refs"))
+    if args.screenshots:
+        eng.write_screenshots(visits)
     n = visits.count()
     dt = time.time() - t0
     print(json.dumps({"visited_urls": n, "sec": round(dt, 2),
