@@ -67,27 +67,29 @@ _C_SRC = r"""
 
 typedef struct { int32_t id; int32_t depth; int64_t parent_rank; int32_t li; } frame;
 
-int64_t dfs_sweep_dense(
+/* Resumable sweep: rank_of[] is CALLER-owned persistent claim state
+   (init to -1 once; survives across shard calls so seed-branch shards
+   sweep against the claims of earlier shards), rank0 is the global
+   rank of this call's first claim. Returns the number of claims made
+   BY THIS CALL (outputs are call-local arrays; parent_rank is the
+   GLOBAL rank). -2 on allocation failure. */
+int64_t dfs_sweep_dense_resume(
     int64_t n_edges, const int32_t *c, const int32_t *li,
     int64_t m, const int32_t *uniq_p, const int64_t *starts,
     int64_t n_seeds, const int32_t *seeds, int32_t maxd,
-    int64_t n_nodes,
+    int64_t n_nodes, int32_t *rank_of, int64_t rank0,
     int32_t *out_id, int32_t *out_depth, int64_t *out_parent_rank,
     int32_t *out_li)
 {
-    /* direct-indexed state: rank_of[id] = visit rank or -1,
-       csr_of[id] = row into uniq_p/starts or -1 */
-    int32_t *rank_of = (int32_t *)malloc((size_t)n_nodes * 4);
-    int32_t *csr_of  = (int32_t *)malloc((size_t)n_nodes * 4);
+    /* csr_of[id] = row into uniq_p/starts or -1: shard-local, built
+       per call from this call's (shard's) CSR */
+    int32_t *csr_of = (int32_t *)malloc((size_t)n_nodes * 4);
     frame *st = (frame *)malloc((size_t)(n_edges + n_seeds + 1) * sizeof(frame));
-    if (!rank_of || !csr_of || !st) {
-        free(rank_of); free(csr_of); free(st); return -1;
-    }
-    memset(rank_of, 0xff, (size_t)n_nodes * 4);   /* all -1 */
-    memset(csr_of,  0xff, (size_t)n_nodes * 4);
+    if (!csr_of || !st) { free(csr_of); free(st); return -2; }
+    memset(csr_of, 0xff, (size_t)n_nodes * 4);
     for (int64_t j = 0; j < m; j++) csr_of[uniq_p[j]] = (int32_t)j;
 
-    int64_t sp = 0, rank = 0;
+    int64_t sp = 0, rank = rank0, n_out = 0;
     for (int64_t sidx = 0; sidx < n_seeds; sidx++) {
         frame f0 = {seeds[sidx], 0, -1, -1};
         st[sp++] = f0;
@@ -95,9 +97,10 @@ int64_t dfs_sweep_dense(
             frame f = st[--sp];
             if (rank_of[f.id] >= 0) continue;          /* already claimed */
             rank_of[f.id] = (int32_t)rank;
-            out_id[rank] = f.id; out_depth[rank] = f.depth;
-            out_parent_rank[rank] = f.parent_rank; out_li[rank] = f.li;
+            out_id[n_out] = f.id; out_depth[n_out] = f.depth;
+            out_parent_rank[n_out] = f.parent_rank; out_li[n_out] = f.li;
             int64_t my_rank = rank++;
+            n_out++;
             if (f.depth >= maxd) continue;
             int32_t pj = csr_of[f.id];
             if (pj < 0) continue;                      /* leaf */
@@ -110,8 +113,26 @@ int64_t dfs_sweep_dense(
             }
         }
     }
-    free(rank_of); free(csr_of); free(st);
-    return rank;
+    free(csr_of); free(st);
+    return n_out;
+}
+
+int64_t dfs_sweep_dense(
+    int64_t n_edges, const int32_t *c, const int32_t *li,
+    int64_t m, const int32_t *uniq_p, const int64_t *starts,
+    int64_t n_seeds, const int32_t *seeds, int32_t maxd,
+    int64_t n_nodes,
+    int32_t *out_id, int32_t *out_depth, int64_t *out_parent_rank,
+    int32_t *out_li)
+{
+    int32_t *rank_of = (int32_t *)malloc((size_t)n_nodes * 4);
+    if (!rank_of) return -1;
+    memset(rank_of, 0xff, (size_t)n_nodes * 4);   /* all -1 */
+    int64_t n = dfs_sweep_dense_resume(
+        n_edges, c, li, m, uniq_p, starts, n_seeds, seeds, maxd,
+        n_nodes, rank_of, 0, out_id, out_depth, out_parent_rank, out_li);
+    free(rank_of);
+    return n < 0 ? -1 : n;
 }
 
 /* dictionary-encode int64 keys against a sorted table: out[k] = index
@@ -198,6 +219,13 @@ def _load_lib():
             ctypes.c_int64, i32p, i64p,
             ctypes.c_int64, i32p, ctypes.c_int32,
             ctypes.c_int64,
+            i32p, i32p, i64p, i32p]
+        lib.dfs_sweep_dense_resume.restype = ctypes.c_int64
+        lib.dfs_sweep_dense_resume.argtypes = [
+            ctypes.c_int64, i32p, i32p,
+            ctypes.c_int64, i32p, i64p,
+            ctypes.c_int64, i32p, ctypes.c_int32,
+            ctypes.c_int64, i32p, ctypes.c_int64,
             i32p, i32p, i64p, i32p]
         lib.encode_ids.restype = None
         lib.encode_ids.argtypes = [ctypes.c_int64, i64p,
@@ -364,3 +392,116 @@ def sweep(c_sorted, i_sorted, uniq_p, starts, seeds, n_nodes, max_depth):
         return res + ("c",)
     return sweep_py(c_sorted, i_sorted, uniq_p, starts, seeds, n_nodes,
                     max_depth) + ("py",)
+
+
+class SweepState:
+    """Persistent claim state for seed-branch-sharded sweeps: shards
+    arrive in seed-rank order, each sweep claims against everything
+    earlier shards claimed (DFS claims under seed rank r never depend
+    on later seeds, so per-shard sweeps with shared state reproduce
+    the global sweep exactly). State is 4 B/node (the rank_of array);
+    the per-shard EDGE arrays — the memory hog at web scale — are
+    bounded by the largest shard, not the web. Picks the C kernel or
+    the pure-Python twin once per process (mixing them would be fine
+    semantically — both implement the same contract — but keeping one
+    makes `impl` reporting truthful)."""
+
+    def __init__(self, n_nodes: int):
+        self.n_nodes = int(n_nodes)
+        self.rank = 0
+        self._lib = _load_lib()
+        if self._lib is not None:
+            self.impl = "c"
+            self.rank_of = np.full(self.n_nodes, -1, np.int32)
+        else:
+            self.impl = "py"
+            self.claimed: dict[int, int] = {}
+
+    def _sweep_shard_c(self, c_sorted, i_sorted, uniq_p, starts, seeds,
+                       max_depth):
+        lib = self._lib
+        n_edges = len(c_sorted)
+        out_n = self.n_nodes - self.rank  # claims left ≤ unclaimed nodes
+        out_id = np.empty(out_n, np.int32)
+        out_depth = np.empty(out_n, np.int32)
+        out_parent = np.empty(out_n, np.int64)
+        out_li = np.empty(out_n, np.int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+
+        def p64(a):
+            return a.ctypes.data_as(i64p)
+
+        def p32(a):
+            return a.ctypes.data_as(i32p)
+
+        c_sorted = np.ascontiguousarray(c_sorted, np.int32)
+        i_sorted = np.ascontiguousarray(i_sorted, np.int32)
+        uniq_p = np.ascontiguousarray(uniq_p, np.int32)
+        starts = np.ascontiguousarray(starts, np.int64)
+        seeds = np.ascontiguousarray(seeds, np.int32)
+        n = lib.dfs_sweep_dense_resume(
+            n_edges, p32(c_sorted), p32(i_sorted),
+            len(uniq_p), p32(uniq_p), p64(starts),
+            len(seeds), p32(seeds), max_depth,
+            self.n_nodes, p32(self.rank_of), self.rank,
+            p32(out_id), p32(out_depth), p64(out_parent), p32(out_li))
+        if n < 0:
+            raise MemoryError("dfs_sweep_dense_resume allocation failure")
+        self.rank += int(n)
+        return (int(n), out_id[:n], out_depth[:n], out_parent[:n],
+                out_li[:n])
+
+    def _sweep_shard_py(self, c_sorted, i_sorted, uniq_p, starts, seeds,
+                        max_depth):
+        c_l = np.asarray(c_sorted, np.int64).tolist()
+        i_l = np.asarray(i_sorted, np.int64).tolist()
+        bounds = np.asarray(starts, np.int64)
+        child_idx = dict(zip(np.asarray(uniq_p, np.int64).tolist(),
+                             zip(bounds[:-1].tolist(), bounds[1:].tolist())))
+        claimed = self.claimed
+        out_id: list[int] = []
+        out_depth: list[int] = []
+        out_parent: list[int] = []
+        out_li: list[int] = []
+        stack: list[tuple] = []
+        push = stack.append
+        pop = stack.pop
+        rank0 = self.rank
+        for sh in np.asarray(seeds, np.int64).tolist():
+            push((sh, 0, -1, -1))
+            while stack:
+                nid, depth, parent_rank, li = pop()
+                if nid in claimed:
+                    continue
+                rank = rank0 + len(out_id)
+                claimed[nid] = rank
+                out_id.append(nid)
+                out_depth.append(depth)
+                out_parent.append(parent_rank)
+                out_li.append(li)
+                if depth < max_depth:
+                    ci = child_idx.get(nid)
+                    if ci is not None:
+                        lo, hi = ci
+                        d1 = depth + 1
+                        for k in range(hi - 1, lo - 1, -1):
+                            ch = c_l[k]
+                            if ch >= 0 and ch not in claimed:
+                                push((ch, d1, rank, i_l[k]))
+        n = len(out_id)
+        self.rank = rank0 + n
+        return (n, np.array(out_id, np.int32),
+                np.array(out_depth, np.int32),
+                np.array(out_parent, np.int64),
+                np.array(out_li, np.int32))
+
+    def sweep_shard(self, c_sorted, i_sorted, uniq_p, starts, seeds,
+                    max_depth):
+        """One shard's sweep. Returns (n, id, depth, parent_rank, li)
+        — call-local arrays, GLOBAL parent ranks."""
+        if self.impl == "c":
+            return self._sweep_shard_c(c_sorted, i_sorted, uniq_p, starts,
+                                       seeds, max_depth)
+        return self._sweep_shard_py(c_sorted, i_sorted, uniq_p, starts,
+                                    seeds, max_depth)

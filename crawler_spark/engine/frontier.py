@@ -59,17 +59,36 @@ from pyspark.sql import types
 
 from ..functions.urls import canonicalize_url, url_hash, url_host, url_path
 from ..sources.tables import SnapshotTable
-from .config import PRIO_WIDTH, CrawlConfig, prio_component
+from .config import PRIO_WIDTH, CrawlConfig
 
 _HEX_W = PRIO_WIDTH
-
-# driver-side twin of _hex_prio for the skeleton heap sweep
-_hex_prio_py = prio_component
 
 
 def _hex_prio(idx_col):
     """Fixed-width lowercase hex of an int column (prio component)."""
     return F.lpad(F.lower(F.hex(idx_col)), _HEX_W, "0")
+
+
+def _read_parquet_dir(path: str, empty_schema):
+    """Thread-pooled pyarrow read of a parquet dir (ctypes/pyarrow
+    release the GIL, so the read scales with cores — a single-stream
+    driver toPandas() collect here was 61 s of the committed 32-core
+    bench). Explicit in-order concat: skeleton parts are
+    parent-hash-partitioned (each parent contiguous and link-sorted —
+    all the CSR pass needs); node rows carry their id explicitly, so
+    their order is irrelevant."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from concurrent.futures import ThreadPoolExecutor
+
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path)
+        if f.endswith(".parquet"))
+    if not files:
+        return pa.table(empty_schema)
+    with ThreadPoolExecutor(min(16, len(files))) as ex:
+        parts = list(ex.map(pq.read_table, files))
+    return pa.concat_tables(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -606,7 +625,8 @@ class FrontierEngine:
     # ---- resolve phase ----
 
     def resolve(self, max_iters: int | None = None,
-                strategy: str = "skeleton") -> DataFrame:
+                strategy: str = "skeleton",
+                n_shards: int = 4) -> DataFrame:
         """Exact DFS-claim resolution over the explored edge set.
         Returns the visits DataFrame: (url, url_hash, host, depth,
         parent_url, link_index, prio, status_code, visit_rank,
@@ -618,17 +638,17 @@ class FrontierEngine:
         EXPENSIVE distributed (fetch, parse, canonicalize, admission,
         dedup: all upstream of here) and resolves ordering over a
         COMPACT skeleton: edges dictionary-encoded to int64 url-hashes
-        JVM-side (~20 bytes/edge), pulled via Arrow, claimed with a
-        single heap sweep (lazy-Dijkstra over priority vectors;
-        ~10 µs/claim). The sweep is the fast path whenever the
-        dense-id skeleton fits the driver (8 B/node state +
-        ~20 B/edge — ~1 TB at 10^10 edges, i.e. a fat driver node or
-        a sharded frontier); past that the IMPLEMENTED exact fallback
-        is strategy="fixpoint" below, which keeps resolution fully
-        distributed at worst-case-linear round cost. (Claims under
-        seed rank r never depend on later seeds, so an out-of-core
-        sweep could page branch-by-branch — a design note, not an
-        implemented path.)
+        JVM-side (~12 bytes/edge on disk), pulled via Arrow, claimed
+        with an integer explicit-stack DFS (~20 ns/edge in C). The
+        sweep is the fast path whenever the dense-id skeleton fits the
+        driver (~200 GB at 10^10 edges).
+
+        strategy="sharded": the out-of-core exact path — seeds split
+        into contiguous seed-rank shards, each shard's reachable
+        subgraph swept alone with claim state carried across shards
+        (see _resolve_sharded). Bounds driver memory by the largest
+        shard's edge set instead of the web; claims identical
+        row-for-row to "skeleton".
 
         strategy="fixpoint": the distributed Jacobi full-recompute
         fixpoint (provably convergent — the k-th smallest true claim
@@ -651,25 +671,20 @@ class FrontierEngine:
         seeds = self.seed_claims().localCheckpoint()
         if strategy == "skeleton":
             claims = self._resolve_skeleton(edges, seeds)
-            return self._finalize_visits(claims)
-        claims = self._resolve_fixpoint(edges.localCheckpoint(), seeds,
-                                        max_iters)
+        elif strategy == "sharded":
+            claims = self._resolve_sharded(edges, seeds, n_shards=n_shards)
+        else:
+            claims = self._resolve_fixpoint(edges.localCheckpoint(), seeds,
+                                            max_iters)
         return self._finalize_visits(claims)
 
-    def _resolve_skeleton(self, edges: DataFrame,
-                          seeds: DataFrame) -> DataFrame:
-        """Exact DFS claiming over the int64-encoded skeleton.
-
-        The lexicographic-heap formulation of round 1 is equivalent to
-        plain DFS preorder (the priority vectors have the prefix
-        property, so heap order ≡ visit stack order) — but the heap
-        built an O(depth)-char priority STRING per edge push, which
-        dominated the sweep. This version sweeps with an integer
-        explicit-stack DFS (no strings, no heap, no per-edge
-        allocation beyond one tuple), then reconstructs the priority
-        vectors with ONE string concat per CLAIM (parents always claim
-        before children in preorder, so a single forward pass over the
-        rank-ordered claims suffices)."""
+    def _encode_skeleton(self, edges: DataFrame, seeds: DataFrame):
+        """Distributed dictionary-encode of the explored edge set into
+        the all-numeric skeleton: a dense-id node table (nodes_path)
+        and the encoded (p_id, i, c_id) edge table (skel_path), both
+        written by all cores. Shared by the skeleton and sharded
+        resolve strategies. Returns (nodes_path, skel_path, nodes_id
+        DataFrame)."""
         self.timings = getattr(self, "timings", {})
         t0 = time.time()
         # all-numeric skeleton (20 bytes/edge): host identity and
@@ -754,30 +769,31 @@ class FrontierEngine:
             .sortWithinPartitions("p_id", "i")
             .write.mode("overwrite").parquet(skel_path))
         self.timings["skeleton_write"] = round(time.time() - t0, 2)
+        return nodes_path, skel_path, nodes_id
+
+    def _resolve_skeleton(self, edges: DataFrame,
+                          seeds: DataFrame) -> DataFrame:
+        """Exact DFS claiming over the int64-encoded skeleton.
+
+        The lexicographic-heap formulation of round 1 is equivalent to
+        plain DFS preorder (the priority vectors have the prefix
+        property, so heap order ≡ visit stack order) — but the heap
+        built an O(depth)-char priority STRING per edge push, which
+        dominated the sweep. This version sweeps with an integer
+        explicit-stack DFS (no strings, no heap, no per-edge
+        allocation beyond one tuple); priority vectors are rebuilt
+        DISTRIBUTED afterwards (see _prio_join)."""
+        nodes_path, skel_path, nodes_id = self._encode_skeleton(edges, seeds)
         t0 = time.time()
         import pyarrow as pa
-        import pyarrow.parquet as pq
-        from concurrent.futures import ThreadPoolExecutor
 
-        def read_dir(path, empty_schema):
-            files = sorted(
-                os.path.join(path, f) for f in os.listdir(path)
-                if f.endswith(".parquet"))
-            if not files:
-                return pa.table(empty_schema)
-            with ThreadPoolExecutor(min(16, len(files))) as ex:
-                parts = list(ex.map(pq.read_table, files))
-            # explicit in-order concat: skeleton parts are
-            # parent-hash-partitioned (each parent contiguous and
-            # link-sorted — all the CSR pass needs); node rows carry
-            # their id explicitly, so their order is irrelevant
-            return pa.concat_tables(parts)
-
-        skel_t = read_dir(skel_path, {"p_id": pa.array([], pa.int32()),
-                                      "i": pa.array([], pa.int32()),
-                                      "c_id": pa.array([], pa.int32())})
-        node_t = read_dir(nodes_path, {"h": pa.array([], pa.int64()),
-                                       "id": pa.array([], pa.int32())})
+        skel_t = _read_parquet_dir(
+            skel_path, {"p_id": pa.array([], pa.int32()),
+                        "i": pa.array([], pa.int32()),
+                        "c_id": pa.array([], pa.int32())})
+        node_t = _read_parquet_dir(
+            nodes_path, {"h": pa.array([], pa.int64()),
+                         "id": pa.array([], pa.int32())})
         self.timings["skeleton_read"] = round(time.time() - t0, 2)
         t0 = time.time()
         import numpy as np
@@ -827,59 +843,213 @@ class FrontierEngine:
         out_h = node_arr[out_id] if n else np.empty(0, np.int64)
         self.timings["dfs_sweep"] = round(time.time() - t0, 2)
         self.timings["sweep_impl"] = impl
+        claims_path = self._paths("claims")
+        shutil.rmtree(claims_path, ignore_errors=True)
+        self._write_claims(claims_path, out_h, out_depth, out_parent_rank,
+                           out_li, rank0=0, part=0)
+        return self._claims_to_visits(claims_path, seeds)
+
+    def _resolve_sharded(self, edges: DataFrame, seeds: DataFrame,
+                         n_shards: int = 4) -> DataFrame:
+        """Seed-branch-sharded exact resolve — the out-of-core path
+        past driver memory that the skeleton strategy's docstring
+        promises. Claims under seed rank r never depend on later seeds
+        (the reference crawls each seed's subtree to completion before
+        the next, crawler-engine.ts:556,673-695), so the sweep pages
+        branch-by-branch: seeds are split into n_shards contiguous
+        seed-rank ranges, each shard's edge subgraph (everything
+        BFS-reachable from the shard's seeds within max_depth — a
+        conservative superset of what its DFS can traverse, computed
+        DISTRIBUTED by ≤max_depth labeled frontier joins) is collected
+        and swept alone, with the claim state (4 B/node rank_of)
+        persisting across shards so later shards skip earlier claims
+        exactly like the global sweep would. Driver memory is bounded
+        by the LARGEST SHARD's edge set (+ the node-indexed arrays, 12
+        B/node), not the web: at 10^10 edges the global skeleton is
+        ~200 GB of driver RAM while 64-way sharding needs only the
+        largest branch. The trade is duplicated edge labeling where
+        shard subgraphs overlap — distributed compute paid to bound
+        sequential memory. Produces claims row-for-row equal to
+        strategy='skeleton' (pinned in tests/test_crawl_golden.py)."""
+        import numpy as np
+        import pyarrow as pa
+
+        from ..core.dfs_kernel import SweepState, csr_runlength
+
+        nodes_path, skel_path, nodes_id = self._encode_skeleton(edges, seeds)
         t0 = time.time()
-        # priority-vector reconstruction: one concat per CLAIM (not
-        # per edge), in rank order — parents always claim before
-        # children in preorder, so a single forward pass suffices.
-        # hex components are memoized (link indices repeat heavily).
-        seed_prio = {int(r["h"]): r["prio"] for r in seed_rows}
-        comp_memo: dict[int, str] = {}
-        prios: list[str] = []
-        pr_list = out_parent_rank.tolist()
-        li_list = out_li.tolist()
-        h_list = out_h.tolist()
-        for rank in range(n):
-            pr = pr_list[rank]
-            if pr < 0:
-                prios.append(seed_prio[h_list[rank]])
-            else:
-                li = li_list[rank]
-                comp = comp_memo.get(li)
-                if comp is None:
-                    comp = comp_memo[li] = _hex_prio_py(li)
-                prios.append(prios[pr] + comp)
-        self.timings["prio_pass"] = round(time.time() - t0, 2)
+        enc = self.spark.read.parquet(skel_path)
+        seed_rows = sorted(
+            seeds.select(url_hash(F.col("url")).alias("h"), "prio")
+            .join(nodes_id, "h").collect(),
+            key=lambda r: r["prio"])
+        n_seeds = len(seed_rows)
+        n_shards = max(1, min(n_shards, n_seeds))
+        shard_seed_ids: dict[int, list[int]] = {}
+        for i, r in enumerate(seed_rows):
+            s = i * n_shards // n_seeds
+            shard_seed_ids.setdefault(s, []).append(int(r["id"]))
+        self.timings["seed_collect"] = round(time.time() - t0, 2)
         t0 = time.time()
-        # hand the claims back through a parquet file written with
-        # pyarrow: ~10× faster than createDataFrame at millions of
-        # rows, session-independent (no Arrow-vs-fallback divergence
-        # on the nullable parent_h), and it doubles as the resolve
-        # checkpoint artifact.
+        # per-shard reachability labels: labeled multi-source BFS over
+        # the encoded edges, one frontier join per depth level. A node
+        # reachable from k shards carries k labels (its edges land in
+        # k shard files) — the documented duplication trade.
+        frontier = (self.spark.createDataFrame(
+            [(s, i) for s, ids in shard_seed_ids.items() for i in ids],
+            "shard int, node int").localCheckpoint())
+        reach = frontier
+        for _ in range(int(self.cfg.max_depth)):
+            nxt = (enc.join(frontier.withColumnRenamed("node", "p_id"),
+                            "p_id")
+                   .filter(F.col("c_id") >= 0)
+                   .select("shard", F.col("c_id").alias("node")).distinct()
+                   .join(reach, ["shard", "node"], "left_anti")
+                   .localCheckpoint())
+            if nxt.isEmpty():
+                break
+            reach = reach.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+        sharded_path = self._paths("skeleton_sharded")
+        npart = max(self.spark.sparkContext.defaultParallelism, 4)
+        # shard-partitioned skeleton: within a shard dir every parent
+        # is contiguous and link-sorted (partition key includes p_id),
+        # which is all the per-shard CSR pass needs
+        (enc.join(reach.withColumnRenamed("node", "p_id"), "p_id")
+            .repartition(npart, "shard", "p_id")
+            .sortWithinPartitions("shard", "p_id", "i")
+            .write.mode("overwrite").partitionBy("shard")
+            .parquet(sharded_path))
+        self.timings["shard_label"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        node_t = _read_parquet_dir(
+            nodes_path, {"h": pa.array([], pa.int64()),
+                         "id": pa.array([], pa.int32())})
+        n_nodes = len(node_t)
+        node_arr = np.empty(n_nodes, np.int64)
+        node_arr[node_t["id"].to_numpy(zero_copy_only=False)] = \
+            node_t["h"].to_numpy(zero_copy_only=False)
+        del node_t
+        self.timings["skeleton_read"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        claims_path = self._paths("claims")
+        shutil.rmtree(claims_path, ignore_errors=True)
+        state = SweepState(n_nodes)
+        shard_secs = []
+        empty = {"p_id": pa.array([], pa.int32()),
+                 "i": pa.array([], pa.int32()),
+                 "c_id": pa.array([], pa.int32())}
+        for s in sorted(shard_seed_ids):
+            t_s = time.time()
+            sdir = os.path.join(sharded_path, f"shard={s}")
+            skel_t = (_read_parquet_dir(sdir, empty)
+                      if os.path.isdir(sdir) else pa.table(empty))
+            p_ids = skel_t["p_id"].to_numpy(zero_copy_only=False)
+            i_sorted = skel_t["i"].to_numpy(zero_copy_only=False)
+            c_id = np.ascontiguousarray(
+                skel_t["c_id"].to_numpy(zero_copy_only=False), np.int32)
+            uniq_p_id, bounds = csr_runlength(p_ids)
+            del skel_t, p_ids
+            seed_id = np.array(shard_seed_ids[s], np.int32)
+            n, out_id, out_depth, out_pr, out_li = state.sweep_shard(
+                c_id, i_sorted, uniq_p_id, bounds, seed_id,
+                self.cfg.max_depth)
+            out_h = node_arr[out_id] if n else np.empty(0, np.int64)
+            self._write_claims(claims_path, out_h, out_depth, out_pr,
+                               out_li, rank0=state.rank - n, part=s)
+            shard_secs.append(round(time.time() - t_s, 2))
+        self.timings["dfs_sweep"] = round(time.time() - t0, 2)
+        self.timings["sweep_impl"] = state.impl
+        self.timings["shard_sweeps"] = shard_secs
+        return self._claims_to_visits(claims_path, seeds)
+
+    @staticmethod
+    def _write_claims(claims_path: str, out_h, out_depth, out_parent_rank,
+                      out_li, rank0: int, part: int) -> None:
+        """Hand a sweep's claims back through a pyarrow parquet part:
+        ~10× faster than createDataFrame at millions of rows,
+        session-independent (no Arrow-vs-fallback divergence on the
+        nullable parent_h), and it doubles as the resolve checkpoint
+        artifact. parent_rank rides along for the distributed
+        priority-vector rebuild (parents claim before children)."""
+        import numpy as np
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        parent_h = pa.array(out_h[np.maximum(out_parent_rank, 0)],
+        n = len(out_h)
+        # parent ranks are GLOBAL but a claim's parent is always
+        # claimed by the same sweep call (DFS parents lie on the path
+        # from this call's seeds), so call-local index = rank - rank0
+        local_pr = np.maximum(out_parent_rank - rank0, 0)
+        parent_h = pa.array(out_h[local_pr] if n else out_h,
                             pa.int64(), mask=out_parent_rank < 0)
-        claims_path = self._paths("claims")
         os.makedirs(claims_path, exist_ok=True)
         tbl = pa.table({
             "h": pa.array(out_h, pa.int64()),
-            "prio": pa.array(prios, pa.string()),
             "depth": pa.array(out_depth.astype(np.int32)),
             "parent_h": parent_h,
+            "parent_rank": pa.array(out_parent_rank.astype(np.int64)),
             "link_index": pa.array(out_li.astype(np.int32)),
-            "visit_rank": pa.array(np.arange(n, dtype=np.int64)),
+            "visit_rank": pa.array(
+                np.arange(rank0, rank0 + n, dtype=np.int64)),
         })
-        pq.write_table(tbl, os.path.join(claims_path, "claims.parquet"),
+        pq.write_table(tbl,
+                       os.path.join(claims_path, f"claims_{part:05d}.parquet"),
                        row_group_size=1 << 20)
-        del tbl, prios, pr_list, li_list, h_list
-        claims_df = self.spark.read.parquet(claims_path)
-        # map hashes back to url strings via the frontier union —
-        # every DFS claim is BFS-admitted, so the union of frontier
-        # rounds (skinny url-only rows, ~visit count) contains every
-        # claimed url; joining the 10x-larger edge set for the same
-        # mapping dominated the rejoin. Semi-join against the claimed
-        # hashes first, then dedup.
+
+    def _prio_join(self, claims_df: DataFrame, seeds: DataFrame) -> DataFrame:
+        """Priority vectors rebuilt DISTRIBUTED by POINTER DOUBLING:
+        prio(claim) = prio(parent) || hex4(link_index) is a
+        bounded-depth ancestor-chain concatenation, so after k
+        doubling rounds each claim holds the concatenated components
+        of its 2^k nearest ancestors and a pointer 2^k levels up —
+        ⌈log2(max_depth+1)⌉ self-joins keyed on the int visit rank
+        (4 rounds at depth 10) instead of one join per depth level.
+        Replaces the former driver-side O(n_claims) Python string loop
+        — the last linear driver pass in resolve. Parents always claim
+        before children, so ranks are valid pointers."""
+        seeds_p = seeds.select(url_hash(F.col("url")).alias("h"), "prio")
+        # own component: the seed's 4-hex rank prefix, or hex4(li)
+        state = (claims_df.select("visit_rank", "parent_rank",
+                                  "link_index", "h")
+                 .join(F.broadcast(seeds_p), "h", "left")
+                 .select(
+                     "visit_rank",
+                     F.col("parent_rank").alias("anc"),
+                     F.when(F.col("parent_rank") < 0, F.col("prio"))
+                     .otherwise(_hex_prio(F.col("link_index")))
+                     .alias("acc"))
+                 .persist())
+        rounds = max(1, int(self.cfg.max_depth).bit_length())
+        levels = [state]
+        for _ in range(rounds):
+            up = state.select(F.col("visit_rank").alias("anc"),
+                              F.col("anc").alias("anc2"),
+                              F.col("acc").alias("acc2"))
+            state = (state.join(up, "anc", "left")
+                     .select("visit_rank",
+                             F.coalesce("anc2", F.lit(-1)).alias("anc"),
+                             F.concat(F.coalesce("acc2", F.lit("")),
+                                      "acc").alias("acc"))
+                     .persist())
+            levels.append(state)
+        self._prio_levels = levels  # unpersisted after materialization
+        return claims_df.join(
+            state.select("visit_rank", F.col("acc").alias("prio")),
+            "visit_rank")
+
+    def _claims_to_visits(self, claims_path: str, seeds: DataFrame,
+                          timing_key: str = "claims_rejoin") -> DataFrame:
+        """Read the claims parquet, rebuild prio vectors distributed,
+        and map hashes back to url strings via the frontier union —
+        every DFS claim is BFS-admitted, so the union of frontier
+        rounds (skinny url-only rows, ~visit count) contains every
+        claimed url; joining the 10x-larger edge set for the same
+        mapping dominated the rejoin. Semi-join against the claimed
+        hashes first, then dedup."""
+        t0 = time.time()
+        claims_df = self._prio_join(self.spark.read.parquet(claims_path),
+                                    seeds)
         claimed_h = claims_df.select("h")
         urls = (self.frontier_table.read()
                 .select("url")
@@ -895,7 +1065,10 @@ class FrontierEngine:
                .select("url", "prio", "depth", "parent_url", "link_index",
                        "visit_rank"))
         out = out.localCheckpoint()
-        self.timings["claims_rejoin"] = round(time.time() - t0, 2)
+        for lv in getattr(self, "_prio_levels", []):
+            lv.unpersist()
+        self._prio_levels = []
+        self.timings[timing_key] = round(time.time() - t0, 2)
         return out
 
     def _resolve_fixpoint(self, edges: DataFrame, seeds: DataFrame,

@@ -101,6 +101,28 @@ def test_fixpoint_matches_skeleton(spark, tmp_path):
     final.unpersist()
 
 
+def test_sharded_matches_skeleton_and_oracle(spark, tmp_path):
+    """strategy='sharded' (seed-branch-paged out-of-core sweep with
+    claim state carried across shards) reproduces strategy='skeleton'
+    — and the sequential oracle — ROW-FOR-ROW including visit_rank,
+    prio and batch_id, at several shard widths (1 shard ≡ global
+    sweep; n_shards > n_seeds clamps)."""
+    cfg = CrawlConfig(max_depth=3)
+    eng = FrontierEngine(spark, cfg, FIXDIR, fresh_ckpt(str(tmp_path / "sh")))
+    eng.explore()
+    base = [_visit_tuple_engine(r) for r in
+            eng.resolve(strategy="skeleton")
+            .orderBy("visit_rank").collect()]
+    exp = [_visit_tuple_oracle(v) for v in run_oracle(FIXDIR, cfg).visits]
+    assert base == exp
+    for n_shards in (1, 2, 5, 999):
+        got = [_visit_tuple_engine(r) for r in
+               eng.resolve(strategy="sharded", n_shards=n_shards)
+               .orderBy("visit_rank").collect()]
+        assert got == base, f"n_shards={n_shards}"
+        assert eng.timings["shard_sweeps"]
+
+
 def test_resume_mid_crawl(spark, tmp_path):
     """Kill after 2 explore rounds, resume in a new engine instance →
     outputs identical to an uninterrupted run (FIXTURES.md inv. 6)."""

@@ -153,3 +153,34 @@ def test_csr_runlength_matches_numpy():
     assert len(u0) == 0 and list(b0) == [0]
     # the C path must actually be exercised in this environment
     assert _load_lib() is not None
+
+
+@pytest.mark.parametrize("seed,n_chunks", [(11, 2), (12, 3), (13, 7)])
+def test_resume_sweep_matches_one_shot(seed, n_chunks):
+    """SweepState (seed-branch-sharded sweeps with claim state carried
+    across calls) concatenates to exactly the one-shot sweep — for
+    both the C kernel and the pure-Python twin — when the seed list is
+    split into chunks and every chunk sees the full edge set (the
+    shard subgraph is a superset of what its DFS traverses, so passing
+    the whole graph is the most conservative shard)."""
+    from crawler_spark.core.dfs_kernel import SweepState, sweep
+
+    rng = np.random.default_rng(seed)
+    c, i, up, b, s, nn = _random_skeleton(rng, 3000, 20000, 12)
+    ref = sweep(c, i, up, b, s, nn, 6)[:5]
+    for impl in ("c", "py"):
+        st = SweepState(nn)
+        if impl == "py":
+            st._lib = None
+            st.impl = "py"
+            st.claimed = {}
+        elif st.impl != "c":
+            pytest.skip("no C toolchain")
+        chunks = np.array_split(s, n_chunks)
+        parts = [st.sweep_shard(c, i, up, b, ch, 6)
+                 for ch in chunks if len(ch)]
+        n = sum(p[0] for p in parts)
+        assert n == ref[0]
+        for k in range(1, 5):
+            got = np.concatenate([p[k] for p in parts])
+            np.testing.assert_array_equal(got, ref[k], err_msg=f"{impl}:{k}")
