@@ -126,76 +126,96 @@ def admit(df: DataFrame, url_col: str, robots: DataFrame,
 # link extraction (E2/E5 + F8/F9/F10) as native expressions
 # ---------------------------------------------------------------------------
 
-def extract_round(pages: DataFrame, robots: DataFrame,
-                  allowed_hosts: list[str], cfg: CrawlConfig) -> DataFrame:
-    """Fused fetch-output pass: ONE generator over the joined
-    (batch ⋈ web) rows yields, per page, a `kind='page'` marker row
-    (status/title/images — the old `fetched` table) AND the admitted
-    `kind='edge'` child rows (the old `extract_edges`+`admit` output).
-    Fusing removes a full materialize+re-read of the links arrays and
-    one Spark job per round — the per-round fixed cost is the scaling
-    -efficiency denominator.
+class ExtractPlan:
+    """Column trees for the fused fetch+extract+admit pass, built ONCE
+    per engine. Plan CONSTRUCTION is driver-side py4j chatter —
+    measured ~0.45 s per round on a 95-round politeness crawl, pure
+    Amdahl in the scaling-efficiency denominator — and Column objects
+    are immutable, so every round reuses the same trees and `apply`
+    costs a handful of py4j calls instead of hundreds.
 
-    Trick: prepend one null element to the (tag-filtered, sampled)
-    links array, then a single posexplode emits pos=0 → page row,
-    pos≥1 → link row. Admission (scheme/domain/robots, reference
+    The pass itself: ONE generator over the joined (batch ⋈ web) rows
+    yields, per page, a `kind='page'` marker row (status/title/images
+    — the old `fetched` table) AND the admitted `kind='edge'` child
+    rows. Trick: prepend one null element to the (tag-filtered,
+    sampled) links array, then a single posexplode emits pos=0 → page
+    row, pos≥1 → link row. Admission (scheme/domain/robots, reference
     crawler-engine.ts:1368-1412) filters only the link rows; page
     rows always survive. Robots is a broadcast dim keyed on the
     CHILD host."""
-    tags = F.array(*[F.lit(t) for t in cfg.follow_link_tags])
-    links = F.filter("links",
-                     lambda l: F.array_contains(tags, l["element_type"]))
-    if cfg.sample_mode:
-        links = F.slice(links, 1, 1)
-    # status 0 (timeout) aborts extraction (goto throw, :1704) and a
-    # null title means no parse — such pages emit ONLY their marker.
-    # The null sentinel element is typed from the data's own links
-    # schema (fixture link structs can carry extra provenance fields).
+
+    def __init__(self, elem_dt, robots: DataFrame,
+                 allowed_hosts: list[str], cfg: CrawlConfig):
+        tags = F.array(*[F.lit(t) for t in cfg.follow_link_tags])
+        links = F.filter("links",
+                         lambda l: F.array_contains(tags, l["element_type"]))
+        if cfg.sample_mode:
+            links = F.slice(links, 1, 1)
+        # status 0 (timeout) aborts extraction (goto throw, :1704) and
+        # a null title means no parse — such pages emit ONLY their
+        # marker. The null sentinel element is typed from the data's
+        # own links schema (fixture link structs can carry extra
+        # provenance fields).
+        links = F.when((F.col("status_code") != 0)
+                       & F.col("title").isNotNull(),
+                       links).otherwise(
+            F.array().cast(types.ArrayType(elem_dt)))
+        marked = F.concat(F.array(F.lit(None).cast(elem_dt)), links)
+        self.explode_cols = [
+            F.col("url").alias("parent_url"), F.col("depth"),
+            F.col("host"), F.col("status_code"),
+            F.col("title"), F.col("images"),
+            F.regexp_extract("url", r"^(https?://[^/]+)", 1).alias("origin"),
+            F.posexplode(marked).alias("pos", "l")]
+        href = F.trim(F.col("l.href"))
+        abs_url = (
+            F.when(href.rlike(r"^[hH][tT][tT][pP][sS]?://"), href)
+            .when(href.startswith("/"), F.concat(F.col("origin"), href))
+            .otherwise(F.lit(None)))
+        self.child = F.when(F.col("pos") > 0, canonicalize_url(abs_url))
+        self.child_host = url_host(F.col("child_url"))
+        self.child_path = url_path(F.col("child_url"))
+        ok = F.col("child_url").rlike(r"^https?://[^/?#]+")
+        if cfg.restrict_domains:
+            hosts = F.array(*[F.lit(h) for h in sorted(allowed_hosts)])
+            ok = ok & F.exists(hosts, lambda a: (F.col("child_host") == a) | (
+                F.col("child_host").endswith(F.concat(F.lit("."), a))
+                if cfg.include_subdomains else F.lit(False)))
+        blocked = F.when(
+            F.col("disallow_prefixes").isNotNull(),
+            F.exists("disallow_prefixes",
+                     lambda p: (p != "") & F.col("child_path").startswith(p)),
+        ).otherwise(F.lit(False))  # allow-all when robots missing (:481-485)
+        self.keep = (F.col("pos") == 0) | (ok & ~blocked)
+        self.robots_b = F.broadcast(robots.select(
+            F.col("host").alias("child_host"), "disallow_prefixes"))
+        self.out_cols = [
+            F.when(F.col("pos") == 0, "page").otherwise("edge")
+            .alias("kind"),
+            F.col("parent_url"), F.col("depth"), F.col("host"),
+            F.col("status_code"),
+            F.when(F.col("pos") == 0, F.col("title")).alias("title"),
+            F.when(F.col("pos") == 0, F.col("images")).alias("images"),
+            F.when(F.col("pos") == 0, F.lit(-1))
+            .otherwise(F.col("l.link_index")).alias("link_index"),
+            F.col("child_url"), F.col("child_host")]
+
+    def apply(self, pages: DataFrame) -> DataFrame:
+        return (pages.select(*self.explode_cols)
+                .withColumn("child_url", self.child)
+                .withColumn("child_host", self.child_host)
+                .withColumn("child_path", self.child_path)
+                .join(self.robots_b, "child_host", "left")
+                .filter(self.keep)
+                .select(*self.out_cols))
+
+
+def extract_round(pages: DataFrame, robots: DataFrame,
+                  allowed_hosts: list[str], cfg: CrawlConfig) -> DataFrame:
+    """One-shot convenience wrapper over ExtractPlan (the engine holds
+    a cached plan instead; see ExtractPlan docstring)."""
     elem_dt = pages.schema["links"].dataType.elementType
-    links = F.when((F.col("status_code") != 0)
-                   & F.col("title").isNotNull(),
-                   links).otherwise(
-        F.array().cast(types.ArrayType(elem_dt)))
-    marked = F.concat(F.array(F.lit(None).cast(elem_dt)), links)
-    e = pages.select(
-        F.col("url").alias("parent_url"), "depth", "host", "status_code",
-        "title", "images",
-        F.regexp_extract("url", r"^(https?://[^/]+)", 1).alias("origin"),
-        F.posexplode(marked).alias("pos", "l"))
-    href = F.trim(F.col("l.href"))
-    abs_url = (
-        F.when(href.rlike(r"^[hH][tT][tT][pP][sS]?://"), href)
-        .when(href.startswith("/"), F.concat(F.col("origin"), href))
-        .otherwise(F.lit(None)))
-    child = canonicalize_url(abs_url)
-    e = (e.withColumn("child_url",
-                      F.when(F.col("pos") > 0, child))
-         .withColumn("child_host", url_host(F.col("child_url")))
-         .withColumn("child_path", url_path(F.col("child_url"))))
-    ok = F.col("child_url").rlike(r"^https?://[^/?#]+")
-    if cfg.restrict_domains:
-        hosts = F.array(*[F.lit(h) for h in sorted(allowed_hosts)])
-        ok = ok & F.exists(hosts, lambda a: (F.col("child_host") == a) | (
-            F.col("child_host").endswith(F.concat(F.lit("."), a))
-            if cfg.include_subdomains else F.lit(False)))
-    e = e.join(F.broadcast(robots.select(
-        F.col("host").alias("child_host"), "disallow_prefixes")),
-        "child_host", "left")
-    blocked = F.when(
-        F.col("disallow_prefixes").isNotNull(),
-        F.exists("disallow_prefixes",
-                 lambda p: (p != "") & F.col("child_path").startswith(p)),
-    ).otherwise(F.lit(False))  # allow-all when robots missing (:481-485)
-    return (e.filter((F.col("pos") == 0) | (ok & ~blocked))
-            .select(
-                F.when(F.col("pos") == 0, "page").otherwise("edge")
-                .alias("kind"),
-                "parent_url", "depth", "host", "status_code",
-                F.when(F.col("pos") == 0, F.col("title")).alias("title"),
-                F.when(F.col("pos") == 0, F.col("images")).alias("images"),
-                F.when(F.col("pos") == 0, F.lit(-1))
-                .otherwise(F.col("l.link_index")).alias("link_index"),
-                "child_url", "child_host"))
+    return ExtractPlan(elem_dt, robots, allowed_hosts, cfg).apply(pages)
 
 
 # ---------------------------------------------------------------------------
@@ -239,6 +259,41 @@ class FrontierEngine:
         os.makedirs(self.ckpt, exist_ok=True)
         self.frontier_table = SnapshotTable(spark, self._paths("frontier"))
         self.crawl_table = SnapshotTable(spark, self._paths("crawl"))
+        self.timings: dict = {}
+        # per-round plan pieces built ONCE: Column trees and slim
+        # projections are immutable, and rebuilding them every round
+        # was ~1 s/round of driver-side py4j chatter — a core-count-
+        # independent term in the scaling-efficiency denominator
+        # (measured: 95-round politeness crawl spent 116 s of 148 s in
+        # py4j socket reads before this cache)
+        self._extract_plan = ExtractPlan(
+            self.web.schema["links"].dataType.elementType,
+            self.robots, self.allowed_hosts, cfg)
+        self._web_slim = self.web.select("url", "status_code", "title",
+                                         "links", "images")
+        self._wt_slim = (self.web_table.select(
+            "url", "status_code", "title", "links", "images")
+            if self.web_table is not None else None)
+        # explicit file schemas: skip per-read footer inference, which
+        # grows O(rounds) over a crawl (frontier history is re-read
+        # every round)
+        self._frontier_schema = types.StructType([
+            types.StructField("url", types.StringType()),
+            types.StructField("depth", types.IntegerType()),
+            types.StructField("host", types.StringType())])
+        web_sch = {f.name: f.dataType for f in self.web.schema.fields}
+        li_dt = (self.web.schema["links"].dataType.elementType
+                 ["link_index"].dataType)
+        self._crawl_schema = types.StructType([
+            types.StructField("parent_url", types.StringType()),
+            types.StructField("depth", types.IntegerType()),
+            types.StructField("host", types.StringType()),
+            types.StructField("status_code", web_sch["status_code"]),
+            types.StructField("title", types.StringType()),
+            types.StructField("images", web_sch["images"]),
+            types.StructField("link_index", li_dt),
+            types.StructField("child_url", types.StringType()),
+            types.StructField("child_host", types.StringType())])
 
     def _ensure_bucketed_web(self, path: str, buckets: int) -> DataFrame:
         """Bucket+sort the static web by url ONCE (hash-bucketed table,
@@ -335,36 +390,46 @@ class FrontierEngine:
         NEXT round: sel='b' (within the per-host budget, fetch now) or
         sel='d' (deferred). Mega-host skew: rank within (host, salt)
         with the budget split across salts so no task scans a whole
-        host."""
-        cap_col = F.coalesce(
-            F.when(F.col("crawl_delay_ms") > 0,
-                   F.greatest(F.lit(1), F.least(
-                       F.lit(self.cfg.rate_limit),
-                       (F.lit(self.cfg.batch_window_ms) /
-                        F.col("crawl_delay_ms")).cast("int")))),
-            F.lit(self.cfg.rate_limit))
-        # Salted per-host ranking for mega-host skew: only hosts whose
-        # cap covers all salts are split (budget divides exactly, stays
-        # an upper bound); small-cap hosts rank unsalted.
-        fr = (frontier.join(
-                F.broadcast(self.robots.select("host", "crawl_delay_ms")),
-                "host", "left")
-              .withColumn("cap", cap_col)
-              .withColumn("salt",
-                          F.when(F.col("cap") >= self.host_salts,
-                                 F.pmod(url_hash(F.col("url")),
-                                        F.lit(self.host_salts)))
-                          .otherwise(F.lit(0)))
-              .withColumn("salt_cap",
-                          F.when(F.col("cap") >= self.host_salts,
-                                 (F.col("cap") / self.host_salts).cast("int"))
-                          .otherwise(F.col("cap"))))
-        w = Window.partitionBy("host", "salt").orderBy("depth", "url")
-        fr = fr.withColumn("rn", F.row_number().over(w))
-        return fr.select("url", "depth", "host",
-                         F.when(F.col("rn") <= F.col("salt_cap"),
-                                F.lit("b")).otherwise(F.lit("d"))
-                         .alias("sel"))
+        host. Column trees are built once (lazily) and reused — plan
+        construction is per-round driver py4j chatter otherwise."""
+        p = getattr(self, "_polite_plan", None)
+        if p is None:
+            cap_col = F.coalesce(
+                F.when(F.col("crawl_delay_ms") > 0,
+                       F.greatest(F.lit(1), F.least(
+                           F.lit(self.cfg.rate_limit),
+                           (F.lit(self.cfg.batch_window_ms) /
+                            F.col("crawl_delay_ms")).cast("int")))),
+                F.lit(self.cfg.rate_limit))
+            # Salted per-host ranking for mega-host skew: only hosts
+            # whose cap covers all salts are split (budget divides
+            # exactly, stays an upper bound); small-cap hosts rank
+            # unsalted.
+            salt = (F.when(F.col("cap") >= self.host_salts,
+                           F.pmod(url_hash(F.col("url")),
+                                  F.lit(self.host_salts)))
+                    .otherwise(F.lit(0)))
+            salt_cap = (F.when(F.col("cap") >= self.host_salts,
+                               (F.col("cap") / self.host_salts).cast("int"))
+                        .otherwise(F.col("cap")))
+            w = Window.partitionBy("host", "salt").orderBy("depth", "url")
+            p = {
+                "robots_b": F.broadcast(
+                    self.robots.select("host", "crawl_delay_ms")),
+                "cap": cap_col, "salt": salt, "salt_cap": salt_cap,
+                "rn": F.row_number().over(w),
+                "out": [F.col("url"), F.col("depth"), F.col("host"),
+                        F.when(F.col("rn") <= F.col("salt_cap"),
+                               F.lit("b")).otherwise(F.lit("d"))
+                        .alias("sel")],
+            }
+            self._polite_plan = p
+        return (frontier.join(p["robots_b"], "host", "left")
+                .withColumn("cap", p["cap"])
+                .withColumn("salt", p["salt"])
+                .withColumn("salt_cap", p["salt_cap"])
+                .withColumn("rn", p["rn"])
+                .select(*p["out"]))
 
     def _write_frontier(self, frontier: DataFrame, rnd: int) -> None:
         """Write a frontier round partitioned by the politeness
@@ -396,10 +461,11 @@ class FrontierEngine:
         ddir = os.path.join(base, "sel=d")
         n_batch = (sum(self._footer_rows(bdir).values())
                    if os.path.isdir(bdir) else 0)
-        batch = (self.spark.read.parquet(bdir) if n_batch
+        rd = self.spark.read.schema(self._frontier_schema)
+        batch = (rd.parquet(bdir) if n_batch
                  else self.spark.createDataFrame(
-                     [], "url string, depth int, host string"))
-        deferred = (self.spark.read.parquet(ddir)
+                     [], self._frontier_schema))
+        deferred = (rd.parquet(ddir)
                     if os.path.isdir(ddir) else batch.limit(0))
         return batch, deferred, n_batch
 
@@ -443,9 +509,8 @@ class FrontierEngine:
             # attempted set IS the union of frontier rounds, so no
             # separate attempted table is written).
             # One web scan + one broadcast per round.
-            web_slim = self.web.select("url", "status_code", "title",
-                                       "links", "images")
-            bsel = batch.select("url", "depth", "host")
+            web_slim = self._web_slim
+            bsel = batch
             # join strategy by batch size: small rounds broadcast the
             # batch over the web scan (driver builds a small hash
             # relation); big rounds against a bucketed web use a
@@ -458,9 +523,8 @@ class FrontierEngine:
             # arrays) thrashes the unified memory manager at high
             # thread counts.
             if self.web_table is not None and n_batch > self.bucket_join_min:
-                wt = self.web_table.select("url", "status_code", "title",
-                                           "links", "images")
-                fetched = wt.hint("merge").join(bsel, "url", "inner")
+                fetched = self._wt_slim.hint("merge").join(bsel, "url",
+                                                           "inner")
             elif n_batch <= 1_500_000:
                 # small + tail rounds: broadcast the batch over the
                 # plain web scan. One plan SHAPE for every such round,
@@ -492,8 +556,7 @@ class FrontierEngine:
             # construction, so neither the candidate step below nor
             # the resolve phase re-scans 10^10 edge strings through
             # the admission regexes a second time.
-            combined = extract_round(fetched, self.robots,
-                                     self.allowed_hosts, self.cfg)
+            combined = self._extract_plan.apply(fetched)
             (combined.write.mode("overwrite").partitionBy("kind")
              .parquet(self._paths("crawl", rnd)))
             # commit the crawl round BEFORE the next frontier round:
@@ -505,12 +568,10 @@ class FrontierEngine:
                                         extra={"round": rnd})
             edge_dir = os.path.join(self._paths("crawl", rnd), "kind=edge")
             if os.path.isdir(edge_dir):
-                edges = self.spark.read.parquet(edge_dir)
+                edges = (self.spark.read.schema(self._crawl_schema)
+                         .parquet(edge_dir))
             else:  # round fetched pages but admitted no links
-                edges = self.spark.createDataFrame(
-                    [], "parent_url string, depth int, host string, "
-                        "status_code int, title string, link_index int, "
-                        "child_url string, child_host string")
+                edges = self.spark.createDataFrame([], self._crawl_schema)
             tick("fetch_extract")
 
             # candidate admission for the NEXT frontier (BFS depth
@@ -534,9 +595,13 @@ class FrontierEngine:
             # truncates lineage across rounds.
             cand = cand.select("url", "depth", "host")
             # one manifest-driven read of the committed frontier
-            # history per round, shared by every variant below
+            # history per round, shared by every variant below, with
+            # an explicit schema (skips per-dir footer inference that
+            # grows O(rounds) — an incremental union-DF cache was
+            # tried and LOST: a 16-deep union of single-dir scans
+            # re-analyzes slower than one multi-dir scan lists)
             frontier_hist = self.frontier_table.read(
-                with_partition_columns=True)
+                schema=self._frontier_schema)
             all_seen = frontier_hist.select("url")
             if self.enforce_politeness:
                 # Depth-correcting admit. Under politeness a URL can be
@@ -665,7 +730,8 @@ class FrontierEngine:
         # into the explore-side edge write — scheme/domain/robots run
         # exactly once per edge, there), so resolve needs no second
         # pass through the admission regexes.
-        edges = (self.crawl_table.read(with_partition_columns=True)
+        edges = (self.crawl_table.read(with_partition_columns=True,
+                                       schema=self._crawl_schema)
                  .filter(F.col("kind") == "edge")
                  .select("parent_url", "link_index", "child_url"))
         seeds = self.seed_claims().localCheckpoint()
@@ -717,7 +783,7 @@ class FrontierEngine:
         # instead of an open-addressing hash walk, which was
         # memory-bound at bench scale.
         nodes_path = self._paths("nodes")
-        nodes = (self.frontier_table.read()
+        nodes = (self.frontier_table.read(schema=self._frontier_schema)
                  .select(url_hash(F.col("url")).alias("h"))
                  .unionByName(seeds.select(url_hash(F.col("url")).alias("h")))
                  .distinct()
@@ -1051,7 +1117,7 @@ class FrontierEngine:
         claims_df = self._prio_join(self.spark.read.parquet(claims_path),
                                     seeds)
         claimed_h = claims_df.select("h")
-        urls = (self.frontier_table.read()
+        urls = (self.frontier_table.read(schema=self._frontier_schema)
                 .select("url")
                 .withColumn("h", url_hash(F.col("url")))
                 .join(F.broadcast(claimed_h), "h", "left_semi")
@@ -1152,7 +1218,8 @@ class FrontierEngine:
         never-materialized URLs are 404s (dead links — fetched as
         absent)."""
         cfg = self.cfg
-        fetched = (self.crawl_table.read(with_partition_columns=True)
+        fetched = (self.crawl_table.read(with_partition_columns=True,
+                                        schema=self._crawl_schema)
                    .filter(F.col("kind") == "page")
                    .select(F.col("parent_url").alias("url"),
                            "status_code").distinct())
@@ -1220,7 +1287,8 @@ class FrontierEngine:
     def image_refs(self, visits: DataFrame) -> DataFrame:
         """(page_url, src, caption) for visited, extracted pages —
         the rows that join to the image+caption byte table (E3)."""
-        fetched = (self.crawl_table.read(with_partition_columns=True)
+        fetched = (self.crawl_table.read(with_partition_columns=True,
+                                        schema=self._crawl_schema)
                    .filter(F.col("kind") == "page"))
         pages = (fetched.filter(F.col("title").isNotNull() &
                                 (F.col("status_code") != 0))
@@ -1250,7 +1318,8 @@ class FrontierEngine:
         import pandas as pd
         from pyspark.sql import types as T
 
-        fetched = (self.crawl_table.read(with_partition_columns=True)
+        fetched = (self.crawl_table.read(with_partition_columns=True,
+                                        schema=self._crawl_schema)
                    .filter(F.col("kind") == "page")
                    .filter(F.col("title").isNotNull() &
                            (F.col("status_code") != 0))

@@ -76,13 +76,20 @@ class SnapshotTable:
     # ---- reads ----
 
     def read(self, snapshot_id: int | None = None,
-             with_partition_columns: bool = False) -> DataFrame:
+             with_partition_columns: bool = False,
+             schema=None) -> DataFrame:
         """Read a snapshot (current by default). Only COMMITTED member
         dirs are visible — a half-written dir that never reached
         commit_dir simply isn't in the manifest, which is the
         crash-consistency property the engine leans on.
         with_partition_columns=True recovers hive-style partition
-        columns from member dir names (basePath read)."""
+        columns from member dir names (basePath read).
+
+        `schema`: explicit file schema — skips footer-based schema
+        inference, which re-reads one footer per member dir on EVERY
+        read and grows O(rounds) during a crawl (a measurable slice of
+        the per-round driver constant). Partition columns absent from
+        the schema are still discovered and appended."""
         mani = self._manifest()
         sid = snapshot_id or mani["current"]
         if sid is None:
@@ -94,8 +101,10 @@ class SnapshotTable:
         # is rejected by the scan builder. Partition columns come for
         # free; with_partition_columns=False callers just don't
         # select them.
-        return (self.spark.read.option("basePath", self.path)
-                .parquet(*dirs))
+        reader = self.spark.read.option("basePath", self.path)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*dirs)
 
     def lineage(self) -> list[dict]:
         """Snapshot history — id, parent, op, rows, per-partition
