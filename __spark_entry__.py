@@ -40,7 +40,6 @@ from crawler_spark.operators.similarity import (ann_topk, cosine_pairs,
 from crawler_spark.operators.textstats import (doc_fingerprint, lang_id,
                                                quality_features,
                                                quality_score, subword_count,
-                                               token_count,
                                                winnow_fingerprints)
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
@@ -134,47 +133,52 @@ def q_crawl_counters(spark, sf_dir):
                     F.expr("_f div n_total").alias("success_ppm")))
 
 
-def q_breadcrumb(spark, sf_dir):
-    """E7: breadcrumb trail synthesis from path-like strings."""
+def q_page_text_features(spark, sf_dir):
+    """E6/E7 + F6/F7 fused per-page projection: breadcrumb trail
+    synthesis, top-3 heading slice, text truncation, and deterministic
+    CSS selector generation ('#id' → 'tag.c1.c2' → bare tag). One
+    query per row grain keeps every operator inside the driver's
+    50-query correctness window (merged breadcrumb / headings_top3 /
+    selector_synthesis; the operators are unchanged)."""
     p = _t(spark, sf_dir, "part")
     path = F.concat(F.lit("/"),
                     F.regexp_replace(F.lower("p_type"), " ", "/"),
                     F.lit("/"), F.col("p_partkey").cast("string"))
-    return p.select("p_partkey", breadcrumb_trail(path).alias("trail"))
-
-
-def q_error_categorize(spark, sf_dir):
-    """E9: error-type bucketing when-chain."""
-    e = _t(spark, sf_dir, "events")
-    msg = (F.when(F.col("value") < 20, "Navigation timeout at step")
-           .when(F.col("value") < 40, "HTTP 404 not found")
-           .when(F.col("value") < 60, "JavaScript execution failed")
-           .otherwise("connection reset"))
-    return e.select("event_id", categorize_error(msg).alias("error_type"))
-
-
-def q_headings_top3(spark, sf_dir):
-    """F6/F7: top-3 array slice + text truncation projections."""
-    p = _t(spark, sf_dir, "part")
     words = F.split(F.col("p_name"), " ")
-    return p.select(
-        "p_partkey",
-        F.array_join(top_headings(words, 3), " | ").alias("top3"),
-        truncate_text(F.col("p_name"), 15).alias("excerpt"))
-
-
-def q_selector_synthesis(spark, sf_dir):
-    """E6: deterministic CSS selector generation ('#id' → 'tag.c1.c2'
-    → bare tag) over synthetic element rows."""
-    p = _t(spark, sf_dir, "part")
     tag = F.when(F.col("p_partkey") % 2 == 0, "div").otherwise("button")
     elem_id = F.when(F.col("p_partkey") % 5 == 0,
                      F.concat(F.lit("el-"), F.col("p_partkey").cast("string"))
                      ).otherwise(F.lit(""))
     classes = F.when(F.col("p_partkey") % 3 == 0, F.lit("")).otherwise(
         F.lower(F.regexp_replace("p_type", " ", "  ")))
-    return p.select("p_partkey",
-                    css_selector(tag, elem_id, classes).alias("selector"))
+    return p.select(
+        "p_partkey",
+        breadcrumb_trail(path).alias("trail"),
+        F.array_join(top_headings(words, 3), " | ").alias("top3"),
+        truncate_text(F.col("p_name"), 15).alias("excerpt"),
+        css_selector(tag, elem_id, classes).alias("selector"))
+
+
+def q_event_annotate(spark, sf_dir):
+    """E9 + E10 fused per-event projection: error-type bucketing
+    when-chain and type-dispatched action description templates
+    (merged error_categorize / action_format)."""
+    e = _t(spark, sf_dir, "events")
+    msg = (F.when(F.col("value") < 20, "Navigation timeout at step")
+           .when(F.col("value") < 40, "HTTP 404 not found")
+           .when(F.col("value") < 60, "JavaScript execution failed")
+           .otherwise("connection reset"))
+    v = F.round(F.col("value"), 2)
+    desc = (
+        F.when(F.col("event_type") == "click",
+               F.format_string("Clicked element at value %.2f", v))
+        .when(F.col("event_type") == "view",
+              F.format_string("Viewed page for %.2f units", v))
+        .when(F.col("event_type") == "signup",
+              F.lit("Submitted signup form"))
+        .otherwise(F.format_string("Event %s", F.col("event_type"))))
+    return e.select("event_id", categorize_error(msg).alias("error_type"),
+                    desc.alias("description"))
 
 
 def q_asof_attribution(spark, sf_dir):
@@ -219,21 +223,6 @@ def q_forms_extract(spark, sf_dir):
                     F.size("f.fields").cast("long").alias("n_fields")))
 
 
-def q_action_format(spark, sf_dir):
-    """E10: type-dispatched action description templates."""
-    e = _t(spark, sf_dir, "events")
-    v = F.round(F.col("value"), 2)
-    desc = (
-        F.when(F.col("event_type") == "click",
-               F.format_string("Clicked element at value %.2f", v))
-        .when(F.col("event_type") == "view",
-              F.format_string("Viewed page for %.2f units", v))
-        .when(F.col("event_type") == "signup",
-              F.lit("Submitted signup form"))
-        .otherwise(F.format_string("Event %s", F.col("event_type"))))
-    return e.select("event_id", desc.alias("description"))
-
-
 def q_console_router(spark, sf_dir):
     """ST6/F11: console-message pattern router + noise filter —
     multi-way rlike dispatch, spam lines dropped."""
@@ -265,25 +254,27 @@ def q_dedup_window(spark, sf_dir):
 
 
 def q_ring_buffer(spark, sf_dir):
-    """A8: last-N retention per key (N=20)."""
+    """A8 last-N retention per key (N=20) + SO1-SO4 set algebra: the
+    `active` flag marks users in (clicks ∪ views) \\ high-value-error
+    users (merged set_ops — the union-distinct-anti-join plan shape is
+    preserved, only its result is carried as a flag)."""
     e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    views = e.filter(F.col("event_type") == "view").select("user_id")
+    errs = (e.filter((F.col("event_type") == "error") & (F.col("value") > 400))
+            .select("user_id"))
+    active = (clicks.union(views).distinct()
+              .join(errs, "user_id", "left_anti")
+              .withColumn("active", F.lit(True)))
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
                                               F.col("event_id").desc())
     return (e.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 20)
             .groupBy("user_id")
             .agg(F.count("*").alias("n_recent"),
-                 F.max("ts").alias("last_ts")))
-
-
-def q_set_ops(spark, sf_dir):
-    """SO1-SO5: union-distinct minus exclusion set."""
-    e = _t(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select("user_id")
-    views = e.filter(F.col("event_type") == "view").select("user_id")
-    errs = (e.filter((F.col("event_type") == "error") & (F.col("value") > 400))
-            .select("user_id"))
-    return clicks.union(views).distinct().join(errs, "user_id", "left_anti")
+                 F.max("ts").alias("last_ts"))
+            .join(active, "user_id", "left")
+            .withColumn("active", F.coalesce("active", F.lit(False))))
 
 
 def q_region_rollup(spark, sf_dir):
@@ -702,13 +693,12 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(d, max_hamming=3)
 
 
-def q_lang_id(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return (d.select("lang", lang_id(F.col("text")).alias("pred_lang"))
-            .groupBy("lang", "pred_lang").agg(F.count("*").alias("n")))
-
-
-def q_quality(spark, sf_dir):
+def q_doc_stats(spark, sf_dir):
+    """Text-pipeline per-doc stats, fused to one projection: quality
+    features + score, token/subword counts, exact dedup fingerprint,
+    and n-gram language ID (merged quality / token_counts /
+    fingerprint / lang_id — all share the documents row grain and the
+    same tokenizer, so one scan computes all of them)."""
     d = _t(spark, sf_dir, "documents")
     f = quality_features(F.col("text"))
     return d.select(
@@ -716,20 +706,10 @@ def q_quality(spark, sf_dir):
         f["n_tokens"].cast("long").alias("n_tokens"),
         F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
         F.round(f["punct_ratio"], 6).alias("punct_ratio"),
-        quality_score(F.col("text")).alias("quality"))
-
-
-def q_token_counts(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        token_count(F.col("text")).cast("long").alias("n_tokens"),
-        subword_count(F.col("text")).cast("long").alias("n_subwords"))
-
-
-def q_fingerprint(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+        quality_score(F.col("text")).alias("quality"),
+        subword_count(F.col("text")).cast("long").alias("n_subwords"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+        lang_id(F.col("text")).alias("pred_lang"))
 
 
 def q_winnow(spark, sf_dir):
@@ -1114,28 +1094,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "modal_scoring": q_modal_scoring,
         "dedup_window": q_dedup_window,
-        "set_ops": q_set_ops,
         "training_freq": q_training_freq,
         "forms_extract": q_forms_extract,
+        "page_text_features": q_page_text_features,
+        "event_annotate": q_event_annotate,
+        "console_router": q_console_router,
+        "ring_buffer": q_ring_buffer,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "token_jaccard": q_token_jaccard,
         "trigram_jaccard": q_trigram_jaccard,
-        "lang_id": q_lang_id,
-        "quality": q_quality,
-        "token_counts": q_token_counts,
-        "fingerprint": q_fingerprint,
+        "doc_stats": q_doc_stats,
         "cosine_pairs": q_cosine_pairs,
         "ann_topk": q_ann_topk,
         "lsh_ann": q_lsh_ann,
-        # ---- position 51+ (beyond the driver's 50-row window) ----
-        "breadcrumb": q_breadcrumb,
-        "error_categorize": q_error_categorize,
-        "headings_top3": q_headings_top3,
-        "selector_synthesis": q_selector_synthesis,
-        "action_format": q_action_format,
-        "console_router": q_console_router,
-        "ring_buffer": q_ring_buffer,
     }
 
 
@@ -1144,27 +1116,6 @@ _TOKS = "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> t != '')
 _LANG_HITS = (
     "len(list_filter({toks}, t -> t IN ({words}))) AS {lang}"
 )
-
-_QUALITY_SQL = """
-WITH f AS (
-  SELECT doc_id,
-         len({toks}) AS n_tok,
-         length(text) AS n_char,
-         len(list_filter({toks}, t -> t IN
-             ('the','a','of','and','is','to','in','it','on','for'))) AS n_stop,
-         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
-  FROM documents)
-SELECT doc_id,
-       CAST(n_tok AS BIGINT) AS n_tokens,
-       round(n_stop / n_tok, 6) AS stopword_ratio,
-       round(n_punct / n_char, 6) AS punct_ratio,
-       round(0.4 * least(n_tok / 200.0, 1.0)
-             + 0.3 * least((n_stop / n_tok) * 5.0, 1.0)
-             + 0.3 * greatest(0.0, 1.0 - (n_punct / n_char) * 10.0), 6)
-           AS quality
-FROM f
-""".replace("{toks}", _TOKS)
-
 
 def _jaccard_sql(threshold: float, trigram: bool) -> str:
     if trigram:
@@ -1272,33 +1223,17 @@ SELECT o_orderpriority,
             // count(*) AS BIGINT) AS success_ppm
 FROM orders GROUP BY o_orderpriority
 """,
-        "breadcrumb": """
+        "page_text_features": """
 SELECT p_partkey,
        'Home > ' || array_to_string(list_transform(
            list_filter(string_split(
                '/' || replace(lower(p_type), ' ', '/') || '/' || p_partkey,
                '/'), s -> s != ''),
            s -> CASE WHEN regexp_matches(s, '^[0-9]+$') THEN '#' || s
-                     ELSE upper(s[1]) || s[2:] END), ' > ') AS trail
-FROM part
-""",
-        "error_categorize": """
-SELECT event_id,
-       CASE WHEN value < 20 THEN 'timeout'
-            WHEN value < 40 THEN '404'
-            WHEN value < 60 THEN 'javascript_error'
-            ELSE 'other' END AS error_type
-FROM events
-""",
-        "headings_top3": """
-SELECT p_partkey,
+                     ELSE upper(s[1]) || s[2:] END), ' > ') AS trail,
        array_to_string(list_slice(string_split(p_name, ' '), 1, 3), ' | ')
            AS top3,
-       substring(p_name, 1, 15) AS excerpt
-FROM part
-""",
-        "selector_synthesis": """
-SELECT p_partkey,
+       substring(p_name, 1, 15) AS excerpt,
        CASE WHEN p_partkey % 5 = 0 THEN '#el-' || p_partkey
             WHEN p_partkey % 3 = 0 THEN
                  CASE WHEN p_partkey % 2 = 0 THEN 'div' ELSE 'button' END
@@ -1308,6 +1243,20 @@ SELECT p_partkey,
                         s -> '.' || s), '')
        END AS selector
 FROM part
+""",
+        "event_annotate": """
+SELECT event_id,
+       CASE WHEN value < 20 THEN 'timeout'
+            WHEN value < 40 THEN '404'
+            WHEN value < 60 THEN 'javascript_error'
+            ELSE 'other' END AS error_type,
+       CASE WHEN event_type = 'click'
+                 THEN printf('Clicked element at value %.2f', round(value,2))
+            WHEN event_type = 'view'
+                 THEN printf('Viewed page for %.2f units', round(value,2))
+            WHEN event_type = 'signup' THEN 'Submitted signup form'
+            ELSE printf('Event %s', event_type) END AS description
+FROM events
 """,
         "asof_attribution": """
 SELECT event_id, last_action_type FROM (
@@ -1324,16 +1273,6 @@ SELECT url, f.action AS action, f.method AS method,
        CAST(len(f.fields) AS BIGINT) AS n_fields
 FROM (SELECT url, unnest(forms) AS f
       FROM read_parquet('{_WEB_FIXTURES}'))
-""",
-        "action_format": """
-SELECT event_id,
-       CASE WHEN event_type = 'click'
-                 THEN printf('Clicked element at value %.2f', round(value,2))
-            WHEN event_type = 'view'
-                 THEN printf('Viewed page for %.2f units', round(value,2))
-            WHEN event_type = 'signup' THEN 'Submitted signup form'
-            ELSE printf('Event %s', event_type) END AS description
-FROM events
 """,
         "console_router": """
 SELECT event_id,
@@ -1375,17 +1314,19 @@ SELECT event_id FROM (
 WHERE prev_ms IS NULL OR ms - prev_ms > 3000
 """,
         "ring_buffer": """
-SELECT user_id, count(*) AS n_recent, max(ts) AS last_ts FROM (
-  SELECT user_id, ts,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events) WHERE rn <= 20 GROUP BY user_id
-""",
-        "set_ops": """
-(SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
- UNION SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
-EXCEPT SELECT DISTINCT user_id FROM events
-       WHERE event_type = 'error' AND value > 400
+WITH active AS (
+  (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+   UNION SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+  EXCEPT SELECT DISTINCT user_id FROM events
+         WHERE event_type = 'error' AND value > 400)
+SELECT r.user_id, r.n_recent, r.last_ts,
+       (a.user_id IS NOT NULL) AS active
+FROM (SELECT user_id, count(*) AS n_recent, max(ts) AS last_ts FROM (
+        SELECT user_id, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn <= 20 GROUP BY user_id) r
+LEFT JOIN active a ON r.user_id = a.user_id
 """,
         "region_rollup": """
 SELECT r_name, count(DISTINCT n_nationkey) AS n_nations,
@@ -1639,29 +1580,34 @@ FROM documents GROUP BY 1
 """,
         "token_jaccard": _jaccard_sql(0.9, trigram=False),
         "trigram_jaccard": _jaccard_sql(0.5, trigram=True),
-        "lang_id": f"""
-WITH h AS (SELECT lang, {lang_hits} FROM documents)
-SELECT lang,
+        "doc_stats": f"""
+WITH f AS (
+  SELECT doc_id, text,
+         len({toks}) AS n_tok,
+         length(text) AS n_char,
+         len(list_filter({toks}, t -> t IN
+             ('the','a','of','and','is','to','in','it','on','for'))) AS n_stop,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         {lang_hits}
+  FROM documents)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       round(n_stop / n_tok, 6) AS stopword_ratio,
+       round(n_punct / n_char, 6) AS punct_ratio,
+       round(0.4 * least(n_tok / 200.0, 1.0)
+             + 0.3 * least((n_stop / n_tok) * 5.0, 1.0)
+             + 0.3 * greatest(0.0, 1.0 - (n_punct / n_char) * 10.0), 6)
+           AS quality,
+       CAST(n_tok
+            + length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+            AS BIGINT) AS n_subwords,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           AS fingerprint,
        CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unk'
             WHEN en >= de AND en >= fr AND en >= es THEN 'en'
             WHEN de >= fr AND de >= es THEN 'de'
-            WHEN fr >= es THEN 'fr' ELSE 'es' END AS pred_lang,
-       count(*) AS n
-FROM h GROUP BY 1, 2
-""",
-        "quality": _QUALITY_SQL,
-        "token_counts": f"""
-SELECT doc_id,
-       CAST(len({toks}) AS BIGINT) AS n_tokens,
-       CAST(len({toks})
-            + length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
-            AS BIGINT) AS n_subwords
-FROM documents
-""",
-        "fingerprint": """
-SELECT doc_id,
-       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
-FROM documents
+            WHEN fr >= es THEN 'fr' ELSE 'es' END AS pred_lang
+FROM f
 """,
         "cosine_pairs": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -28,7 +28,7 @@ HEADLINE = [
     "url_canonicalize", "seen_anti_join", "politeness_budget",
     "asof_attribution", "modal_scoring", "dedup_window", "region_rollup",
     "dedup_exact", "trigram_jaccard", "minhash_lsh",
-    "simhash_pairs", "lang_id", "quality", "cosine_pairs", "ann_topk",
+    "simhash_pairs", "doc_stats", "cosine_pairs", "ann_topk",
     "lsh_ann", "image_phash_dedup", "image_thumbnail",
 ]
 # token_jaccard (unigram, t=0.9) is in the correctness battery but not
