@@ -266,14 +266,32 @@ class FrontierEngine:
         # independent term in the scaling-efficiency denominator
         # (measured: 95-round politeness crawl spent 116 s of 148 s in
         # py4j socket reads before this cache)
+        # raw-HTML fetch mode (E1 in the loop): a web table WITHOUT
+        # pre-parsed `links` structs but WITH an `html` payload column
+        # (sources.fixtures.write_html_web; a real cluster's fetch
+        # stage returns exactly this shape) flips the engine to parse
+        # title/links/images from markup per round via the Arrow-
+        # batched HTML-parse stage — same narrow partitioning, one
+        # extra Python crossing per fetched page, identical crawl
+        # (golden test pins the visit order against the struct web).
+        self.parse_from_html = "links" not in self.web.columns
+        if self.parse_from_html:
+            from ..operators.html_parse import IMG_T, LINK_T
+            link_dt, img_dt = LINK_T.elementType, IMG_T
+            self._web_slim = self.web.select("url", "status_code", "html")
+            self._wt_slim = (self.web_table.select(
+                "url", "status_code", "html")
+                if self.web_table is not None else None)
+        else:
+            link_dt = self.web.schema["links"].dataType.elementType
+            img_dt = self.web.schema["images"].dataType
+            self._web_slim = self.web.select("url", "status_code", "title",
+                                             "links", "images")
+            self._wt_slim = (self.web_table.select(
+                "url", "status_code", "title", "links", "images")
+                if self.web_table is not None else None)
         self._extract_plan = ExtractPlan(
-            self.web.schema["links"].dataType.elementType,
-            self.robots, self.allowed_hosts, cfg)
-        self._web_slim = self.web.select("url", "status_code", "title",
-                                         "links", "images")
-        self._wt_slim = (self.web_table.select(
-            "url", "status_code", "title", "links", "images")
-            if self.web_table is not None else None)
+            link_dt, self.robots, self.allowed_hosts, cfg)
         # explicit file schemas: skip per-read footer inference, which
         # grows O(rounds) over a crawl (frontier history is re-read
         # every round)
@@ -281,17 +299,16 @@ class FrontierEngine:
             types.StructField("url", types.StringType()),
             types.StructField("depth", types.IntegerType()),
             types.StructField("host", types.StringType())])
-        web_sch = {f.name: f.dataType for f in self.web.schema.fields}
-        li_dt = (self.web.schema["links"].dataType.elementType
-                 ["link_index"].dataType)
         self._crawl_schema = types.StructType([
             types.StructField("parent_url", types.StringType()),
             types.StructField("depth", types.IntegerType()),
             types.StructField("host", types.StringType()),
-            types.StructField("status_code", web_sch["status_code"]),
+            types.StructField("status_code",
+                              self.web.schema["status_code"].dataType),
             types.StructField("title", types.StringType()),
-            types.StructField("images", web_sch["images"]),
-            types.StructField("link_index", li_dt),
+            types.StructField("images", img_dt),
+            types.StructField("link_index",
+                              link_dt["link_index"].dataType),
             types.StructField("child_url", types.StringType()),
             types.StructField("child_host", types.StringType())])
 
@@ -540,6 +557,14 @@ class FrontierEngine:
                 fetched = web_slim.join(F.broadcast(bsel), "url")
             else:
                 fetched = bsel.join(web_slim, "url", "inner")
+            if self.parse_from_html:
+                # E1 in the loop: derive title/links/images from the
+                # raw markup payload — narrow Arrow-batched stage, the
+                # join output's partitioning rides through unchanged
+                from ..operators.html_parse import parse_pages
+                fetched = parse_pages(
+                    fetched.select("url", "depth", "host", "status_code",
+                                   "html"))
             fetched = fetched.select("url", "depth", "host", "status_code",
                                      "title", "links", "images")
             # fused fetch+extract+admit: the join output feeds ONE

@@ -379,6 +379,62 @@ def render_page_html(row: dict) -> str:
     return "".join(parts)
 
 
+def write_html_web(spark, fixture_dir: str, out_dir: str) -> str:
+    """Materialize a RAW-HTML web table from a struct-web fixture dir:
+    (url, host, status_code, html, load_time_ms), html rendered per
+    page by render_page_html — the payload shape a real fetch stage
+    returns. The frontier engine auto-detects this shape (no `links`
+    column) and runs the E1 HTML-parse stage inside its fetch path,
+    so the crawl derives link structs from markup instead of
+    pre-parsed fixtures. Timeout pages (status 0) and unparsed pages
+    (null title — reference aborts extraction, crawler-engine.ts:1704)
+    carry html=NULL, matching a fetch that returned no body. Render is
+    a distributed mapInPandas over the struct web (pure-Python
+    renderer, Arrow-batched); writes parquet to out_dir and returns
+    out_dir."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    web = spark.read.parquet(os.path.join(fixture_dir, "web_pages.parquet"))
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("status_code", web.schema["status_code"].dataType),
+        T.StructField("html", T.StringType()),
+        T.StructField("load_time_ms", web.schema["load_time_ms"].dataType),
+    ])
+
+    def plain(v):
+        # Arrow hands list columns back as numpy arrays (and struct
+        # elements as dicts holding more of them); the renderer wants
+        # plain Python truthiness
+        if hasattr(v, "tolist"):
+            v = v.tolist()
+        if isinstance(v, list):
+            return [plain(x) for x in v]
+        if isinstance(v, dict):
+            return {k: plain(x) for k, x in v.items()}
+        return v
+
+    def render(it):
+        for pdf in it:
+            htmls = []
+            for row in pdf.to_dict("records"):
+                if row["status_code"] == 0 or row["title"] is None:
+                    htmls.append(None)
+                else:
+                    htmls.append(render_page_html(plain(row)))
+            yield pd.DataFrame({
+                "url": pdf["url"], "host": pdf["host"],
+                "status_code": pdf["status_code"], "html": htmls,
+                "load_time_ms": pdf["load_time_ms"]})
+
+    web.mapInPandas(render, schema=schema).write.mode("overwrite") \
+        .parquet(out_dir)
+    return out_dir
+
+
 def generate(tier: str, out_dir: str, salt: str = "v1") -> dict[str, int]:
     os.makedirs(out_dir, exist_ok=True)
     g = WebGen(tier, salt)

@@ -68,6 +68,35 @@ def test_engine_matches_oracle(spark, tmp_path, name):
     visits.unpersist()
 
 
+def test_html_mode_matches_oracle(spark, tmp_path):
+    """Raw-HTML fetch mode: a web table carrying an `html` payload
+    instead of pre-parsed structs flips the engine to run the E1
+    HTML-parse stage inside its fetch path — and the crawl still
+    reproduces the sequential oracle row-for-row, closing the gap
+    between the contract's parse queries and the engine loop."""
+    from crawler_spark.sources.fixtures import write_html_web
+    hdir = str(tmp_path / "html-fix")
+    os.makedirs(hdir)
+    write_html_web(spark, FIXDIR, os.path.join(hdir, "web_pages.parquet"))
+    for f in ("seeds.parquet", "robots.parquet"):
+        os.symlink(os.path.abspath(os.path.join(FIXDIR, f)),
+                   os.path.join(hdir, f))
+    cfg = CrawlConfig(max_depth=3)
+    eng = FrontierEngine(spark, cfg, hdir, fresh_ckpt(str(tmp_path / "hck")))
+    assert eng.parse_from_html
+    visits = eng.run().cache()
+    got = [_visit_tuple_engine(r)
+           for r in visits.orderBy("visit_rank").collect()]
+    oracle = run_oracle(FIXDIR, cfg)
+    assert got == [_visit_tuple_oracle(v) for v in oracle.visits]
+    # image+caption refs derive from PARSED <img> tags in this mode
+    refs = {(r["page_url"], r["src"], r["caption"])
+            for r in eng.image_refs(visits).collect()}
+    assert refs == {(i["page_url"], i["src"], i["caption"])
+                    for i in oracle.images}
+    visits.unpersist()
+
+
 def test_fixpoint_matches_skeleton(spark, tmp_path):
     """The two resolution strategies — distributed Jacobi fixpoint and
     skeleton heap sweep — produce identical claims."""
