@@ -72,7 +72,8 @@ def ensure_bench_web(pages: int | None = None,
 
 def run_frontier_bench(spark, max_depth: int = 8,
                        pages: int | None = None,
-                       seeds: int | None = None) -> dict:
+                       seeds: int | None = None,
+                       also_sharded: bool = False) -> dict:
     """The engine's own metric: URLs scheduled+fetched per second on
     the synthetic frontier. Reported in two parts:
       * explore — the distributed schedule+fetch+extract+admit loop
@@ -118,12 +119,24 @@ def run_frontier_bench(spark, max_depth: int = 8,
     n = visits.count()
     t_resolve = time.time() - t1
     dt = time.time() - t0
-    return {"urls": n, "sec": round(dt, 2),
-            "urls_per_sec": round(n / dt, 1),
-            "explore_sec": round(t_explore, 2),
-            "explore_urls_per_sec": round(n / t_explore, 1),
-            "resolve_sec": round(t_resolve, 2),
-            "resolve_steps": getattr(eng, "timings", {})}
+    out = {"urls": n, "sec": round(dt, 2),
+           "urls_per_sec": round(n / dt, 1),
+           "explore_sec": round(t_explore, 2),
+           "explore_urls_per_sec": round(n / t_explore, 1),
+           "resolve_sec": round(t_resolve, 2),
+           "resolve_steps": dict(getattr(eng, "timings", {}))}
+    if also_sharded:
+        # evidence the out-of-core exact path under timing too: the
+        # seed-branch-sharded sweep must reproduce the same visit set
+        # (row parity is pinned in tests; count-checked here) while
+        # bounding driver memory by the largest shard
+        eng.timings = {}
+        t2 = time.time()
+        n_sh = eng.resolve(strategy="sharded", n_shards=8).count()
+        out["resolve_sharded_sec"] = round(time.time() - t2, 2)
+        out["resolve_sharded_steps"] = dict(eng.timings)
+        assert n_sh == n, f"sharded visit count {n_sh} != {n}"
+    return out
 
 
 def main() -> None:

@@ -38,7 +38,7 @@ ensure_bench_web()
 # the measured scaling of the actual distributed work. Standard
 # steady-state benchmarking; both children prewarm identically.
 run_frontier_bench(spark, max_depth=6, pages=50_000, seeds=1024)
-res = run_frontier_bench(spark, max_depth={depth})
+res = run_frontier_bench(spark, max_depth={depth}, also_sharded=True)
 print("RESULT " + json.dumps(res))
 """
 
