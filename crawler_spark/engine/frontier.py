@@ -872,8 +872,8 @@ class FrontierEngine:
         built an O(depth)-char priority STRING per edge push, which
         dominated the sweep. This version sweeps with an integer
         explicit-stack DFS (no strings, no heap, no per-edge
-        allocation beyond one tuple); priority vectors are rebuilt
-        DISTRIBUTED afterwards (see _prio_join)."""
+        allocation beyond one tuple); priority vectors are emitted
+        vectorized by the claims write (see _write_claims)."""
         nodes_path, skel_path, nodes_id = self._encode_skeleton(edges, seeds)
         t0 = time.time()
         import pyarrow as pa
@@ -937,7 +937,9 @@ class FrontierEngine:
         claims_path = self._paths("claims")
         shutil.rmtree(claims_path, ignore_errors=True)
         self._write_claims(claims_path, out_h, out_depth, out_parent_rank,
-                           out_li, rank0=0, part=0)
+                           out_li, rank0=0, part=0,
+                           seed_prio_by_h={int(r["h"]): r["prio"].encode()
+                                           for r in seed_rows})
         return self._claims_to_visits(claims_path, seeds)
 
     def _resolve_sharded(self, edges: DataFrame, seeds: DataFrame,
@@ -1026,6 +1028,7 @@ class FrontierEngine:
         claims_path = self._paths("claims")
         shutil.rmtree(claims_path, ignore_errors=True)
         state = SweepState(n_nodes)
+        seed_prio = {int(r["h"]): r["prio"].encode() for r in seed_rows}
         shard_secs = []
         empty = {"p_id": pa.array([], pa.int32()),
                  "i": pa.array([], pa.int32()),
@@ -1047,7 +1050,8 @@ class FrontierEngine:
                 self.cfg.max_depth)
             out_h = node_arr[out_id] if n else np.empty(0, np.int64)
             self._write_claims(claims_path, out_h, out_depth, out_pr,
-                               out_li, rank0=state.rank - n, part=s)
+                               out_li, rank0=state.rank - n, part=s,
+                               seed_prio_by_h=seed_prio)
             shard_secs.append(round(time.time() - t_s, 2))
         self.timings["dfs_sweep"] = round(time.time() - t0, 2)
         self.timings["sweep_impl"] = state.impl
@@ -1056,13 +1060,26 @@ class FrontierEngine:
 
     @staticmethod
     def _write_claims(claims_path: str, out_h, out_depth, out_parent_rank,
-                      out_li, rank0: int, part: int) -> None:
+                      out_li, rank0: int, part: int,
+                      seed_prio_by_h: dict[int, bytes]) -> None:
         """Hand a sweep's claims back through a pyarrow parquet part:
         ~10× faster than createDataFrame at millions of rows,
         session-independent (no Arrow-vs-fallback divergence on the
         nullable parent_h), and it doubles as the resolve checkpoint
-        artifact. parent_rank rides along for the distributed
-        priority-vector rebuild (parents claim before children)."""
+        artifact.
+
+        The priority VECTOR of every claim is emitted here too —
+        prio(claim) = prio(parent) ++ hex4(link_index) — rebuilt
+        VECTORIZED per depth level over the call's arrays (parents
+        always claim in the same sweep call and at depth-1, so each
+        level's parent bytes are complete before the level runs; no
+        per-claim Python loop, no Spark joins). The claims are
+        driver-resident at this point by design — the sweep is the
+        engine's one compact sequential pass — so building the ~4·
+        (depth+1)-byte strings here costs one gather/scatter per depth
+        level and removes the ⌈log₂ depth⌉ pointer-doubling shuffle
+        joins that used to run afterwards (claims_rejoin was a
+        core-count-independent Amdahl term in the scaling pairs)."""
         import numpy as np
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -1074,6 +1091,40 @@ class FrontierEngine:
         local_pr = np.maximum(out_parent_rank - rank0, 0)
         parent_h = pa.array(out_h[local_pr] if n else out_h,
                             pa.int64(), mask=out_parent_rank < 0)
+        # ---- vectorized prio build ----
+        depth64 = out_depth.astype(np.int64)
+        max_d = int(depth64.max()) if n else 0
+        W = _HEX_W * (max_d + 1)
+        buf = np.zeros((n, W), np.uint8)        # row i: prio bytes, padded
+        lens = _HEX_W * (depth64 + 1)           # true byte length per claim
+        hexd = np.frombuffer(b"0123456789abcdef", np.uint8)
+        li = out_li.astype(np.int64)
+        comp = np.empty((n, _HEX_W), np.uint8)  # hex4(link_index) per claim
+        for k in range(_HEX_W):
+            comp[:, k] = hexd[(li >> (4 * (_HEX_W - 1 - k))) & 0xF]
+        for i in np.flatnonzero(out_parent_rank < 0):  # ≤ n_seeds rows
+            p = seed_prio_by_h[int(out_h[i])]
+            assert len(p) == _HEX_W
+            buf[i, :_HEX_W] = np.frombuffer(p, np.uint8)
+        for d in range(1, max_d + 1):
+            rows = np.flatnonzero(depth64 == d)
+            if not len(rows):
+                continue
+            w_par = _HEX_W * d
+            buf[rows, :w_par] = buf[local_pr[rows], :w_par]
+            buf[rows, w_par:w_par + _HEX_W] = comp[rows]
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        data = np.empty(int(offsets[-1]), np.uint8)
+        for d in range(0, max_d + 1):
+            rows = np.flatnonzero(depth64 == d)
+            if not len(rows):
+                continue
+            w = _HEX_W * (d + 1)
+            data[offsets[rows][:, None] + np.arange(w)[None, :]] = \
+                buf[rows, :w]
+        prio_arr = pa.LargeStringArray.from_buffers(
+            n, pa.py_buffer(offsets), pa.py_buffer(data))
         os.makedirs(claims_path, exist_ok=True)
         tbl = pa.table({
             "h": pa.array(out_h, pa.int64()),
@@ -1081,6 +1132,7 @@ class FrontierEngine:
             "parent_h": parent_h,
             "parent_rank": pa.array(out_parent_rank.astype(np.int64)),
             "link_index": pa.array(out_li.astype(np.int32)),
+            "prio": prio_arr,
             "visit_rank": pa.array(
                 np.arange(rank0, rank0 + n, dtype=np.int64)),
         })
@@ -1088,59 +1140,18 @@ class FrontierEngine:
                        os.path.join(claims_path, f"claims_{part:05d}.parquet"),
                        row_group_size=1 << 20)
 
-    def _prio_join(self, claims_df: DataFrame, seeds: DataFrame) -> DataFrame:
-        """Priority vectors rebuilt DISTRIBUTED by POINTER DOUBLING:
-        prio(claim) = prio(parent) || hex4(link_index) is a
-        bounded-depth ancestor-chain concatenation, so after k
-        doubling rounds each claim holds the concatenated components
-        of its 2^k nearest ancestors and a pointer 2^k levels up —
-        ⌈log2(max_depth+1)⌉ self-joins keyed on the int visit rank
-        (4 rounds at depth 10) instead of one join per depth level.
-        Replaces the former driver-side O(n_claims) Python string loop
-        — the last linear driver pass in resolve. Parents always claim
-        before children, so ranks are valid pointers."""
-        seeds_p = seeds.select(url_hash(F.col("url")).alias("h"), "prio")
-        # own component: the seed's 4-hex rank prefix, or hex4(li)
-        state = (claims_df.select("visit_rank", "parent_rank",
-                                  "link_index", "h")
-                 .join(F.broadcast(seeds_p), "h", "left")
-                 .select(
-                     "visit_rank",
-                     F.col("parent_rank").alias("anc"),
-                     F.when(F.col("parent_rank") < 0, F.col("prio"))
-                     .otherwise(_hex_prio(F.col("link_index")))
-                     .alias("acc"))
-                 .persist())
-        rounds = max(1, int(self.cfg.max_depth).bit_length())
-        levels = [state]
-        for _ in range(rounds):
-            up = state.select(F.col("visit_rank").alias("anc"),
-                              F.col("anc").alias("anc2"),
-                              F.col("acc").alias("acc2"))
-            state = (state.join(up, "anc", "left")
-                     .select("visit_rank",
-                             F.coalesce("anc2", F.lit(-1)).alias("anc"),
-                             F.concat(F.coalesce("acc2", F.lit("")),
-                                      "acc").alias("acc"))
-                     .persist())
-            levels.append(state)
-        self._prio_levels = levels  # unpersisted after materialization
-        return claims_df.join(
-            state.select("visit_rank", F.col("acc").alias("prio")),
-            "visit_rank")
-
     def _claims_to_visits(self, claims_path: str, seeds: DataFrame,
                           timing_key: str = "claims_rejoin") -> DataFrame:
-        """Read the claims parquet, rebuild prio vectors distributed,
-        and map hashes back to url strings via the frontier union —
-        every DFS claim is BFS-admitted, so the union of frontier
-        rounds (skinny url-only rows, ~visit count) contains every
-        claimed url; joining the 10x-larger edge set for the same
-        mapping dominated the rejoin. Semi-join against the claimed
-        hashes first, then dedup."""
+        """Read the claims parquet (prio vectors already emitted by the
+        sweep write — see _write_claims) and map hashes back to url
+        strings via the frontier union — every DFS claim is
+        BFS-admitted, so the union of frontier rounds (skinny url-only
+        rows, ~visit count) contains every claimed url; joining the
+        10x-larger edge set for the same mapping dominated the rejoin.
+        Semi-join against the claimed hashes first, then dedup."""
         t0 = time.time()
-        claims_df = self._prio_join(self.spark.read.parquet(claims_path),
-                                    seeds)
+        claims_df = (self.spark.read.parquet(claims_path)
+                     .withColumn("prio", F.col("prio").cast("string")))
         claimed_h = claims_df.select("h")
         urls = (self.frontier_table.read(schema=self._frontier_schema)
                 .select("url")
@@ -1156,9 +1167,6 @@ class FrontierEngine:
                .select("url", "prio", "depth", "parent_url", "link_index",
                        "visit_rank"))
         out = out.localCheckpoint()
-        for lv in getattr(self, "_prio_levels", []):
-            lv.unpersist()
-        self._prio_levels = []
         self.timings[timing_key] = round(time.time() - t0, 2)
         return out
 
