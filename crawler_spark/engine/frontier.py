@@ -971,7 +971,15 @@ class FrontierEngine:
 
         nodes_path, skel_path, nodes_id = self._encode_skeleton(edges, seeds)
         t0 = time.time()
-        enc = self.spark.read.parquet(skel_path)
+        npart = max(self.spark.sparkContext.defaultParallelism, 4)
+        # hash-partition the encoded edge set by parent ONCE and pin it
+        # in memory (~12 B/edge): every BFS level below joins on p_id,
+        # so the partitioning is computed once and each level's join
+        # shuffles only the (much smaller) frontier side — re-reading
+        # the parquet per level re-shuffled all edges every level,
+        # which made shard labeling cost more than the resolve itself
+        enc = (self.spark.read.parquet(skel_path)
+               .repartition(npart, "p_id").persist())
         seed_rows = sorted(
             seeds.select(url_hash(F.col("url")).alias("h"), "prio")
             .join(nodes_id, "h").collect(),
@@ -991,20 +999,29 @@ class FrontierEngine:
         frontier = (self.spark.createDataFrame(
             [(s, i) for s, ids in shard_seed_ids.items() for i in ids],
             "shard int, node int").localCheckpoint())
-        reach = frontier
+        # cumulative reach = union of the per-level frontiers, each
+        # already checkpointed — re-materializing the whole cumulative
+        # set every level (its old localCheckpoint) was O(levels ×
+        # |reach|) of pure copying
+        frontiers = [frontier]
         for _ in range(int(self.cfg.max_depth)):
-            nxt = (enc.join(frontier.withColumnRenamed("node", "p_id"),
-                            "p_id")
+            reach_u = frontiers[0]
+            for f_lv in frontiers[1:]:
+                reach_u = reach_u.unionByName(f_lv)
+            nxt = (enc.join(frontier.hint("shuffle_hash")
+                            .withColumnRenamed("node", "p_id"), "p_id")
                    .filter(F.col("c_id") >= 0)
                    .select("shard", F.col("c_id").alias("node")).distinct()
-                   .join(reach, ["shard", "node"], "left_anti")
+                   .join(reach_u, ["shard", "node"], "left_anti")
                    .localCheckpoint())
             if nxt.isEmpty():
                 break
-            reach = reach.unionByName(nxt).localCheckpoint()
+            frontiers.append(nxt)
             frontier = nxt
+        reach = frontiers[0]
+        for f_lv in frontiers[1:]:
+            reach = reach.unionByName(f_lv)
         sharded_path = self._paths("skeleton_sharded")
-        npart = max(self.spark.sparkContext.defaultParallelism, 4)
         # shard-partitioned skeleton: within a shard dir every parent
         # is contiguous and link-sorted (partition key includes p_id),
         # which is all the per-shard CSR pass needs
@@ -1013,6 +1030,7 @@ class FrontierEngine:
             .sortWithinPartitions("shard", "p_id", "i")
             .write.mode("overwrite").partitionBy("shard")
             .parquet(sharded_path))
+        enc.unpersist()
         self.timings["shard_label"] = round(time.time() - t0, 2)
         t0 = time.time()
         node_t = _read_parquet_dir(
