@@ -992,35 +992,73 @@ class FrontierEngine:
             shard_seed_ids.setdefault(s, []).append(int(r["id"]))
         self.timings["seed_collect"] = round(time.time() - t0, 2)
         t0 = time.time()
-        # per-shard reachability labels: labeled multi-source BFS over
-        # the encoded edges, one frontier join per depth level. A node
-        # reachable from k shards carries k labels (its edges land in
-        # k shard files) — the documented duplication trade.
+        # per-shard reachability labels: multi-source BFS over the
+        # encoded edges, one frontier join per depth level, with the
+        # shard set of each node carried as a BITMASK (W = ceil(n/64)
+        # long words) instead of (shard, node) rows — a node reachable
+        # from k shards is ONE frontier row, not k, so the per-level
+        # join/agg intermediates shrink by up to n_shards× where shard
+        # subgraphs overlap (the duplication only reappears in the
+        # final per-shard skeleton files, where it is the point).
+        n_words = (n_shards + 63) // 64
+        mask_cols = [f"m{w}" for w in range(n_words)]
+        mask_ddl = ", ".join(f"{c} long" for c in mask_cols)
+
+        def _seed_row(shard: int, node: int) -> tuple:
+            masks = [0] * n_words
+            masks[shard // 64] = 1 << (shard % 64)
+            return (node, *masks)
+
         frontier = (self.spark.createDataFrame(
-            [(s, i) for s, ids in shard_seed_ids.items() for i in ids],
-            "shard int, node int").localCheckpoint())
+            [_seed_row(s, i) for s, ids in shard_seed_ids.items()
+             for i in ids],
+            f"node int, {mask_ddl}").localCheckpoint())
+
+        def _bit_or_all(df: DataFrame, key: str) -> DataFrame:
+            return df.groupBy(key).agg(
+                *[F.bit_or(c).alias(c) for c in mask_cols])
+
         # cumulative reach = union of the per-level frontiers, each
         # already checkpointed — re-materializing the whole cumulative
         # set every level (its old localCheckpoint) was O(levels ×
         # |reach|) of pure copying
         frontiers = [frontier]
+        new_bits = [F.col(c).bitwiseAND(
+            F.bitwise_not(F.coalesce(F.col(f"s_{c}"), F.lit(0)
+                                     .cast("long"))))
+            for c in mask_cols]
         for _ in range(int(self.cfg.max_depth)):
             reach_u = frontiers[0]
             for f_lv in frontiers[1:]:
                 reach_u = reach_u.unionByName(f_lv)
-            nxt = (enc.join(frontier.hint("shuffle_hash")
-                            .withColumnRenamed("node", "p_id"), "p_id")
+            seen = _bit_or_all(reach_u, "node").select(
+                "node", *[F.col(c).alias(f"s_{c}") for c in mask_cols])
+            cand = _bit_or_all(
+                enc.join(frontier.hint("shuffle_hash")
+                         .withColumnRenamed("node", "p_id"), "p_id")
                    .filter(F.col("c_id") >= 0)
-                   .select("shard", F.col("c_id").alias("node")).distinct()
-                   .join(reach_u, ["shard", "node"], "left_anti")
+                   .withColumnRenamed("c_id", "node"), "node")
+            nxt = (cand.join(seen, "node", "left")
+                   .select("node", *[nb.alias(c) for nb, c
+                                     in zip(new_bits, mask_cols)])
+                   .filter(" or ".join(f"{c} != 0" for c in mask_cols))
                    .localCheckpoint())
             if nxt.isEmpty():
                 break
             frontiers.append(nxt)
             frontier = nxt
-        reach = frontiers[0]
+        reach_u = frontiers[0]
         for f_lv in frontiers[1:]:
-            reach = reach.unionByName(f_lv)
+            reach_u = reach_u.unionByName(f_lv)
+        # unfold the masks into (node, shard) only now, for the
+        # shard-partitioned write
+        arr = "array(" + ", ".join(mask_cols) + ")"
+        shards_of = (f"filter(sequence(0, {n_shards - 1}), s -> "
+                     f"(element_at({arr}, cast(s div 64 as int) + 1)"
+                     f" & shiftleft(1L, s % 64)) != 0)")
+        reach = (_bit_or_all(reach_u, "node")
+                 .select("node", F.explode(F.expr(shards_of))
+                         .alias("shard")))
         sharded_path = self._paths("skeleton_sharded")
         # shard-partitioned skeleton: within a shard dir every parent
         # is contiguous and link-sorted (partition key includes p_id),

@@ -44,6 +44,17 @@ AUDITS = {
     "crawl_counters": dict(want=["HashAggregate"]),
     "lsh_ann": dict(any_join=["SortMergeJoin", "ShuffledHashJoin",
                               "BroadcastHashJoin"]),
+    # Arrow-batched Python stages: the plan must cross into Python via
+    # MapInPandas (vectorized), never BatchEvalPython (row-at-a-time)
+    "extract_page": dict(want=["MapInPandas"],
+                         forbid=["BatchEvalPython"]),
+    "image_thumbnail": dict(want=["MapInPandas"],
+                            forbid=["BatchEvalPython"]),
+    "caption_stats": dict(want=["HashAggregate"],
+                          forbid=["BatchEvalPython"]),
+    # ≤max_depth iterative self-joins, all equi-joins
+    "sitemap_tree": dict(any_join=["BroadcastHashJoin",
+                                   "ShuffledHashJoin", "SortMergeJoin"]),
 }
 
 
