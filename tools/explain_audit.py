@@ -50,7 +50,8 @@ AUDITS = {
                          forbid=["BatchEvalPython"]),
     "image_thumbnail": dict(want=["MapInPandas"],
                             forbid=["BatchEvalPython"]),
-    "caption_stats": dict(want=["HashAggregate"],
+    # per-row caption/pixel stats: pure codegen projection, no Python
+    "caption_stats": dict(want=["codegen id"],
                           forbid=["BatchEvalPython"]),
     # ≤max_depth iterative self-joins, all equi-joins
     "sitemap_tree": dict(any_join=["BroadcastHashJoin",
