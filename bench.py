@@ -145,6 +145,20 @@ def main() -> None:
     import __spark_entry__ as entry
 
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    # untimed JVM/codegen prewarm (same methodology the scaling bench
+    # documents): a neutral parquet-read + shuffle + codegen pass over
+    # the two tiny dims, so the first timed query measures the query,
+    # not executor startup and whole-stage compilation
+    from pyspark.sql import functions as F
+    t0 = time.time()
+    (spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+     .join(spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")),
+           F.expr("r_regionkey = n_regionkey"))
+     .groupBy("r_name").agg(F.count("*")).collect())
+    spark.range(1_000_000).select(
+        F.max(F.xxhash64("id"))).collect()
+    print(f"# prewarm: {time.time() - t0:.2f}s", file=sys.stderr)
+
     qs = entry.queries()
     times: dict[str, float] = {}
     total = 0.0
