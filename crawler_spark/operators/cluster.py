@@ -1,0 +1,113 @@
+"""Near-duplicate CLUSTER ASSIGNMENT — the step after candidate pairs.
+
+The pair generators (`dedup.minhash_lsh_pairs`, `dedup.simhash_pairs`,
+`similarity.cosine_pairs`, `images.phash_candidate_pairs`) emit the
+near-dup graph's edges; an actual dedup pass must pick one canonical
+representative per connected component and drop the rest. The
+reference's only dedup is the keyed screenshot window
+(`/root/reference/lib/recorder/browser-session.ts:2444-2473` — one
+"canonical" capture per (component, reason, selector) per window);
+this generalizes it to content-based duplicate graphs of any size.
+
+Algorithm: iterative min-label propagation (each node repeatedly takes
+the smallest label among itself and its neighbours) — the standard
+large-scale connected-components formulation. Convergence is bounded
+by the largest component DIAMETER, not size; near-dup components are
+dense and shallow (a hub duplicate links most members directly), so a
+handful of rounds converge even at 10^10 docs. Each round is one
+shuffle-join + one aggregate over the edge list; `localCheckpoint`
+truncates the lineage so round N's plan doesn't embed rounds 1..N-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(ids: DataFrame, pairs: DataFrame,
+                         id_col: str,
+                         src: str = "id_a", dst: str = "id_b",
+                         max_iters: int = 16) -> DataFrame:
+    """Label every id with its component's minimum id.
+
+    ids:   one row per node (singletons allowed — they label
+           themselves), column `id_col`;
+    pairs: undirected edges (src, dst) — any extra columns ignored.
+
+    Returns (id_col, canonical_id). Deterministic under any
+    partitioning: min is order-independent."""
+    edges = (pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+             .unionByName(pairs.select(F.col(dst).alias("src"),
+                                       F.col(src).alias("dst"))))
+    labels = ids.select(F.col(id_col).alias("src"),
+                        F.col(id_col).alias("label"))
+    edges = edges.localCheckpoint()
+    labels = labels.localCheckpoint()
+    for _ in range(max_iters):
+        neigh = (edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+                 .groupBy("src").agg(F.min("label").alias("nlabel")))
+        new_labels = (labels.join(neigh, "src", "left")
+                      .select("src", F.least(
+                          F.col("label"),
+                          F.coalesce("nlabel", F.col("label")))
+                          .alias("label"))
+                      .localCheckpoint())
+        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
+                                   "src")
+                   .filter(F.col("label") != F.col("old")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias(id_col),
+                         F.col("label").alias("canonical_id"))
+
+
+def assign_canonical(items: DataFrame, pairs: DataFrame,
+                     id_col: str, max_iters: int = 16) -> DataFrame:
+    """items + (canonical_id, is_canonical) from the pair graph —
+    keep `is_canonical` rows for a deduplicated corpus."""
+    comp = connected_components(items.select(id_col), pairs, id_col,
+                                max_iters=max_iters)
+    return (items.join(comp, id_col)
+            .withColumn("is_canonical",
+                        F.col(id_col) == F.col("canonical_id")))
+
+
+def minhash_dedup(docs: DataFrame, threshold: float = 0.5,
+                  num_hashes: int = 64, bands: int = 16, n: int = 3,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Document near-dup dedup end-to-end: shingle → MinHash → banded
+    LSH candidates (est. Jaccard ≥ threshold) → connected components →
+    canonical doc per cluster. One banded self-join + a few CC rounds;
+    no all-pairs anywhere."""
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs, threshold, num_hashes, bands, n,
+                              id_col, text_col)
+    return assign_canonical(docs, pairs, id_col)
+
+
+def embedding_dedup(emb: DataFrame, threshold: float = 0.95,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    exact: bool = True) -> DataFrame:
+    """Embedding-cosine near-dup dedup: pairs with cosine ≥ threshold
+    (exact block-partitioned BLAS by default; LSH-bucketed when
+    exact=False trades recall for sub-quadratic compute) → connected
+    components → canonical vector per cluster."""
+    from .similarity import cosine_pairs, lsh_bucketed_neighbors
+
+    if exact:
+        pairs = cosine_pairs(emb, threshold, id_col, vec_col)
+    else:
+        nn = lsh_bucketed_neighbors(emb, k=10, id_col=id_col,
+                                    vec_col=vec_col,
+                                    dim=len(emb.select(vec_col)
+                                            .first()[0]))
+        pairs = (nn.filter(F.col("cos_e4") >= int(threshold * 10_000))
+                 .select(F.least("qid", "nid").alias("id_a"),
+                         F.greatest("qid", "nid").alias("id_b"))
+                 .distinct())
+    return assign_canonical(emb, pairs, id_col)

@@ -161,34 +161,10 @@ def phash_dedup(images: DataFrame, max_hamming: int = 10,
 
     Generalizes the reference's screenshot dedup windows
     (browser-session.ts:2444-2473) to content-based dedup."""
+    from .cluster import assign_canonical
+
     pairs = phash_candidate_pairs(images, max_hamming, id_col, phash_col)
-    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-             .unionByName(pairs.select(F.col("id_b").alias("src"),
-                                       F.col("id_a").alias("dst"))))
-    labels = images.select(F.col(id_col).alias("src"),
-                           F.col(id_col).alias("label"))
-    edges = edges.localCheckpoint()
-    labels = labels.localCheckpoint()
-    for _ in range(max_iters):
-        neigh = (edges.join(labels.withColumnRenamed("src", "dst"), "dst")
-                 .groupBy("src").agg(F.min("label").alias("nlabel")))
-        # localCheckpoint truncates lineage — without it each round's
-        # plan embeds all previous rounds and analysis time explodes
-        new_labels = (labels.join(neigh, "src", "left")
-                      .select("src", F.least(
-                          F.col("label"),
-                          F.coalesce("nlabel", F.col("label"))).alias("label"))
-                      .localCheckpoint())
-        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
-                                   "src")
-                   .filter(F.col("label") != F.col("old")).count())
-        labels = new_labels
-        if changed == 0:
-            break
-    out = images.join(labels.select(F.col("src").alias(id_col),
-                                    F.col("label").alias("canonical_id")),
-                      id_col)
-    return out.withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
+    return assign_canonical(images, pairs, id_col, max_iters=max_iters)
 
 
 def exact_byte_dedup(images: DataFrame, id_col: str = "image_id") -> DataFrame:
