@@ -1006,7 +1006,10 @@ class FrontierEngine:
 
         def _seed_row(shard: int, node: int) -> tuple:
             masks = [0] * n_words
-            masks[shard // 64] = 1 << (shard % 64)
+            bit = 1 << (shard % 64)
+            # bit 63 is the sign bit of a Spark LongType — wrap to the
+            # signed representation (bitwise ops are sign-agnostic)
+            masks[shard // 64] = bit - (1 << 64) if bit >= (1 << 63) else bit
             return (node, *masks)
 
         frontier = (self.spark.createDataFrame(

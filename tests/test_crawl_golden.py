@@ -152,6 +152,28 @@ def test_sharded_matches_skeleton_and_oracle(spark, tmp_path):
         assert eng.timings["shard_sweeps"]
 
 
+def test_sharded_multiword_masks(spark, tmp_path):
+    """>64 shards forces the second bitmask word (W=2) in the shard
+    labeling BFS — t-smoke has 4 seeds, so this needs a synthetic web
+    with enough seeds. 80 shards over 80 seeds must reproduce the
+    single-word global sweep row-for-row."""
+    from crawler_spark.sources.synth_web import generate_bench_web
+
+    web = str(tmp_path / "web80")
+    generate_bench_web(web, 3000, n_hosts=20, n_seeds=80)
+    cfg = CrawlConfig(max_depth=3, rate_limit=10_000)
+    eng = FrontierEngine(spark, cfg, web, fresh_ckpt(str(tmp_path / "mw")))
+    eng.explore()
+    base = [_visit_tuple_engine(r) for r in
+            eng.resolve(strategy="skeleton")
+            .orderBy("visit_rank").collect()]
+    got = [_visit_tuple_engine(r) for r in
+           eng.resolve(strategy="sharded", n_shards=80)
+           .orderBy("visit_rank").collect()]
+    assert got == base
+    assert len(eng.timings["shard_sweeps"]) == 80
+
+
 def test_resume_mid_crawl(spark, tmp_path):
     """Kill after 2 explore rounds, resume in a new engine instance →
     outputs identical to an uninterrupted run (FIXTURES.md inv. 6)."""
