@@ -1,0 +1,129 @@
+"""spark-submit entrypoint for the training-corpus pipeline: the
+post-crawl half of the engine — text/image/embedding dedup down to a
+canonical corpus with quality features attached.
+
+Stages (all distributed, no driver-side data):
+  1. text features: lang-ID, quality score, token/subword counts,
+     content fingerprint — native columns, one codegen pass;
+  2. exact dedup: fingerprint groupBy keeps the smallest doc_id;
+  3. near-dup dedup: MinHash->banded LSH candidates -> connected
+     components -> one canonical doc per cluster;
+  4. embedding near-dups (when --embeddings): exact block-BLAS cosine
+     pairs -> CC -> canonical vectors;
+  5. image near-dups (when --images): decode -> phash bands -> CC.
+
+Cluster usage (same packaging as jobs/crawl_job.py):
+
+    cd /root/repo && zip -qr /tmp/crawler_spark.zip crawler_spark
+    spark-submit --py-files /tmp/crawler_spark.zip jobs/corpus_job.py \
+        --docs /data/documents --out /data/corpus \
+        --embeddings /data/embeddings --images /data/images \
+        --minhash-threshold 0.5 --cosine-threshold 0.95
+
+Local (this sandbox):
+
+    python jobs/corpus_job.py --docs /root/testdata/sf0.01/documents.parquet \
+        --out /tmp/corpus --cores 8
+
+Outputs under --out: docs/ (canonical rows only, features attached),
+doc_clusters/ (doc_id -> canonical_id for lineage), plus vec_clusters/
+and image_clusters/ when those inputs are given; a one-line JSON stats
+summary on stdout."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--embeddings")
+    ap.add_argument("--images")
+    ap.add_argument("--minhash-threshold", type=float, default=0.5)
+    ap.add_argument("--cosine-threshold", type=float, default=0.95)
+    ap.add_argument("--max-hamming", type=int, default=10)
+    ap.add_argument("--min-quality", type=int, default=0,
+                    help="drop docs scoring below this (0 keeps all)")
+    ap.add_argument("--cores", type=int, default=0,
+                    help="local-mode cores; 0 = use spark-submit's master")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.cluster import (embedding_dedup,
+                                                 minhash_dedup)
+    from crawler_spark.operators.textstats import (doc_fingerprint, lang_id,
+                                                   quality_score,
+                                                   subword_count, token_count)
+
+    if args.cores:
+        from crawler_spark.plans.session import get_spark
+        spark = get_spark("corpus", cores=args.cores,
+                          shuffle_partitions=args.cores)
+    else:
+        from pyspark.sql import SparkSession
+        spark = SparkSession.builder.appName("corpus").getOrCreate()
+
+    stats: dict[str, int] = {}
+    docs = spark.read.parquet(args.docs)
+    stats["docs_in"] = docs.count()
+
+    # 1. features (one projection), 2. exact dedup on the fingerprint
+    feat = (docs
+            .withColumn("lang", lang_id("text"))
+            .withColumn("quality", quality_score("text"))
+            .withColumn("tokens", token_count("text"))
+            .withColumn("subwords", subword_count("text"))
+            .withColumn("fingerprint", doc_fingerprint("text")))
+    if args.min_quality:
+        feat = feat.filter(F.col("quality") >= args.min_quality)
+    exact_keep = (feat.groupBy("fingerprint")
+                  .agg(F.min("doc_id").alias("doc_id")))
+    feat = feat.join(exact_keep, ["fingerprint", "doc_id"])
+    stats["docs_after_exact"] = feat.count()
+
+    # 3. near-dup clusters -> canonical corpus
+    deduped = minhash_dedup(feat, threshold=args.minhash_threshold)
+    (deduped.select("doc_id", "canonical_id")
+     .write.mode("overwrite").parquet(os.path.join(args.out, "doc_clusters")))
+    canon = deduped.filter("is_canonical").drop("canonical_id",
+                                                "is_canonical")
+    canon.write.mode("overwrite").parquet(os.path.join(args.out, "docs"))
+    stats["docs_canonical"] = canon.count()
+
+    if args.embeddings:
+        emb = spark.read.parquet(args.embeddings)
+        ve = embedding_dedup(emb, threshold=args.cosine_threshold)
+        (ve.select("vec_id", "canonical_id", "is_canonical")
+         .write.mode("overwrite")
+         .parquet(os.path.join(args.out, "vec_clusters")))
+        stats["vecs_in"] = emb.count()
+        stats["vecs_canonical"] = ve.filter("is_canonical").count()
+
+    if args.images:
+        from crawler_spark.operators.images import (decode_and_phash,
+                                                    phash_dedup)
+        imgs = spark.read.parquet(args.images)
+        if "phash" not in imgs.columns:
+            # raw bytes table — decode and hash in Arrow batches first
+            imgs = (decode_and_phash(imgs).filter("dec_ok")
+                    .withColumnRenamed("phash_dec", "phash"))
+        ie = phash_dedup(imgs, max_hamming=args.max_hamming)
+        (ie.select("image_id", "canonical_id", "is_canonical")
+         .write.mode("overwrite")
+         .parquet(os.path.join(args.out, "image_clusters")))
+        stats["images_in"] = imgs.count()
+        stats["images_canonical"] = ie.filter("is_canonical").count()
+
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()
