@@ -1092,8 +1092,11 @@ class FrontierEngine:
         empty = {"p_id": pa.array([], pa.int32()),
                  "i": pa.array([], pa.int32()),
                  "c_id": pa.array([], pa.int32())}
-        for s in sorted(shard_seed_ids):
-            t_s = time.time()
+        def _load_shard(s: int):
+            """Read + CSR-prepare one shard's skeleton (pyarrow and
+            csr_runlength release the GIL, so this overlaps the C
+            sweep of the previous shard when run on the prefetch
+            thread)."""
             sdir = os.path.join(sharded_path, f"shard={s}")
             skel_t = (_read_parquet_dir(sdir, empty)
                       if os.path.isdir(sdir) else pa.table(empty))
@@ -1102,7 +1105,20 @@ class FrontierEngine:
             c_id = np.ascontiguousarray(
                 skel_t["c_id"].to_numpy(zero_copy_only=False), np.int32)
             uniq_p_id, bounds = csr_runlength(p_ids)
-            del skel_t, p_ids
+            return c_id, i_sorted, uniq_p_id, bounds
+
+        from concurrent.futures import ThreadPoolExecutor
+        order = sorted(shard_seed_ids)
+        pool = ThreadPoolExecutor(max_workers=1)
+        nxt_fut = pool.submit(_load_shard, order[0])
+        for k, s in enumerate(order):
+            t_s = time.time()
+            c_id, i_sorted, uniq_p_id, bounds = nxt_fut.result()
+            if k + 1 < len(order):
+                # double-buffer: shard k+1's read/decode runs while
+                # shard k sweeps (the claim state is strictly
+                # sequential, the IO is not)
+                nxt_fut = pool.submit(_load_shard, order[k + 1])
             seed_id = np.array(shard_seed_ids[s], np.int32)
             n, out_id, out_depth, out_pr, out_li = state.sweep_shard(
                 c_id, i_sorted, uniq_p_id, bounds, seed_id,
@@ -1112,6 +1128,7 @@ class FrontierEngine:
                                out_li, rank0=state.rank - n, part=s,
                                seed_prio_by_h=seed_prio)
             shard_secs.append(round(time.time() - t_s, 2))
+        pool.shutdown(wait=False)
         self.timings["dfs_sweep"] = round(time.time() - t0, 2)
         self.timings["sweep_impl"] = state.impl
         self.timings["shard_sweeps"] = shard_secs
