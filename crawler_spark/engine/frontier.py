@@ -1074,24 +1074,10 @@ class FrontierEngine:
         enc.unpersist()
         self.timings["shard_label"] = round(time.time() - t0, 2)
         t0 = time.time()
-        node_t = _read_parquet_dir(
-            nodes_path, {"h": pa.array([], pa.int64()),
-                         "id": pa.array([], pa.int32())})
-        n_nodes = len(node_t)
-        node_arr = np.empty(n_nodes, np.int64)
-        node_arr[node_t["id"].to_numpy(zero_copy_only=False)] = \
-            node_t["h"].to_numpy(zero_copy_only=False)
-        del node_t
-        self.timings["skeleton_read"] = round(time.time() - t0, 2)
-        t0 = time.time()
-        claims_path = self._paths("claims")
-        shutil.rmtree(claims_path, ignore_errors=True)
-        state = SweepState(n_nodes)
-        seed_prio = {int(r["h"]): r["prio"].encode() for r in seed_rows}
-        shard_secs = []
         empty = {"p_id": pa.array([], pa.int32()),
                  "i": pa.array([], pa.int32()),
                  "c_id": pa.array([], pa.int32())}
+
         def _load_shard(s: int):
             """Read + CSR-prepare one shard's skeleton (pyarrow and
             csr_runlength release the GIL, so this overlaps the C
@@ -1110,7 +1096,24 @@ class FrontierEngine:
         from concurrent.futures import ThreadPoolExecutor
         order = sorted(shard_seed_ids)
         pool = ThreadPoolExecutor(max_workers=1)
+        # shard 0's load overlaps the node-table read below — the only
+        # shard whose IO nothing else can hide
         nxt_fut = pool.submit(_load_shard, order[0])
+        node_t = _read_parquet_dir(
+            nodes_path, {"h": pa.array([], pa.int64()),
+                         "id": pa.array([], pa.int32())})
+        n_nodes = len(node_t)
+        node_arr = np.empty(n_nodes, np.int64)
+        node_arr[node_t["id"].to_numpy(zero_copy_only=False)] = \
+            node_t["h"].to_numpy(zero_copy_only=False)
+        del node_t
+        self.timings["skeleton_read"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        claims_path = self._paths("claims")
+        shutil.rmtree(claims_path, ignore_errors=True)
+        state = SweepState(n_nodes)
+        seed_prio = {int(r["h"]): r["prio"].encode() for r in seed_rows}
+        shard_secs = []
         for k, s in enumerate(order):
             t_s = time.time()
             c_id, i_sorted, uniq_p_id, bounds = nxt_fut.result()
