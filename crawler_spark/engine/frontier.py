@@ -232,6 +232,7 @@ class FrontierEngine:
                  enforce_politeness: bool = False,
                  host_salts: int = 8,
                  use_bloom: bool = False,
+                 use_cuckoo: bool = False,
                  bucketed_web_dir: str | None = None,
                  web_buckets: int = 64,
                  bucket_join_min: int = 250_000):
@@ -242,6 +243,10 @@ class FrontierEngine:
         self.enforce_politeness = enforce_politeness
         self.host_salts = host_salts
         self.use_bloom = use_bloom
+        # cuckoo is the deletion-capable alternative (operators/
+        # cuckoo.py); both compose identically as certain-new
+        # pre-filters, so the engine treats them interchangeably
+        self.use_cuckoo = use_cuckoo
         self.web = spark.read.parquet(f"{fixture_dir}/web_pages.parquet")
         self.robots = spark.read.parquet(f"{fixture_dir}/robots.parquet")
         self.seeds_raw = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
@@ -647,15 +652,22 @@ class FrontierEngine:
                 # maybe-seen ones pay the depth check.
                 seen_best = (frontier_hist.groupBy("url")
                              .agg(F.min("depth").alias("seen_depth")))
-                if self.use_bloom:
-                    from ..operators.bloom import (build_bloom,
-                                                   bloom_maybe_seen)
+                if self.use_bloom or self.use_cuckoo:
+                    if self.use_bloom:
+                        from ..operators.bloom import (build_bloom as _build,
+                                                       bloom_maybe_seen
+                                                       as _maybe)
+                    else:
+                        from ..operators.cuckoo import (build_cuckoo
+                                                        as _build,
+                                                        cuckoo_maybe_seen
+                                                        as _maybe)
 
                     seen_h = all_seen.withColumn("url_hash",
                                                  url_hash(F.col("url")))
-                    flagged = bloom_maybe_seen(
+                    flagged = _maybe(
                         cand.withColumn("url_hash", url_hash(F.col("url"))),
-                        build_bloom(seen_h))
+                        _build(seen_h))
                     certain_new = (flagged.filter(~F.col("maybe_seen"))
                                    .drop("maybe_seen", "bucket_id",
                                          "url_hash"))
@@ -669,17 +681,23 @@ class FrontierEngine:
                             .drop("seen_depth"))
                 new_cand = (improved if certain_new is None
                             else certain_new.unionByName(improved))
-            elif self.use_bloom:
-                # at 10^10 scale: bloom pre-filter kills the bulk of
+            elif self.use_bloom or self.use_cuckoo:
+                # at 10^10 scale: the pre-filter kills the bulk of
                 # already-seen candidates before the exact anti-join
-                from ..operators.bloom import (build_bloom,
-                                               seen_anti_join_with_bloom)
+                if self.use_bloom:
+                    from ..operators.bloom import (
+                        build_bloom as _build,
+                        seen_anti_join_with_bloom as _anti)
+                else:
+                    from ..operators.cuckoo import (
+                        build_cuckoo as _build,
+                        seen_anti_join_with_cuckoo as _anti)
 
                 seen_h = all_seen.withColumn("url_hash",
                                              url_hash(F.col("url")))
-                new_cand = seen_anti_join_with_bloom(
+                new_cand = _anti(
                     cand.withColumn("url_hash", url_hash(F.col("url"))),
-                    seen_h, build_bloom(seen_h),
+                    seen_h, _build(seen_h),
                     confirm_col="url").drop("url_hash")
             else:
                 new_cand = cand.join(all_seen, "url", "left_anti")

@@ -202,6 +202,22 @@ def test_bloom_prefilter_identical_seen_set(spark, tmp_path):
     assert got == exp
 
 
+def test_cuckoo_prefilter_identical_seen_set(spark, tmp_path):
+    """Same invariant for the deletion-capable cuckoo variant
+    (operators/cuckoo.py), politeness ON so the depth-correcting
+    admit path runs through the filter too."""
+    cfg = CrawlConfig(max_depth=3)
+    eng = FrontierEngine(spark, cfg, FIXDIR,
+                         fresh_ckpt(str(tmp_path / "cuckoo")),
+                         enforce_politeness=True, use_cuckoo=True)
+    visits = eng.run()
+    got = [_visit_tuple_engine(r) for r in visits.orderBy("visit_rank").collect()]
+    # politeness changes ROUND placement, never the resolved DFS
+    # order, so the plain oracle is still the expectation
+    exp = [_visit_tuple_oracle(v) for v in run_oracle(FIXDIR, cfg).visits]
+    assert got == exp
+
+
 def _write_depth_trap_fixture(path: str) -> None:
     """Minimal web where politeness deferral admits a URL at a
     NON-minimal depth: the hot.test queue (cap 1/round) defers `zz`
