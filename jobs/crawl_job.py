@@ -43,6 +43,9 @@ def main() -> None:
                     help="enforce per-host caps per explore round")
     ap.add_argument("--bloom", action="store_true",
                     help="bloom pre-filter on the frontier anti-join")
+    ap.add_argument("--cuckoo", action="store_true",
+                    help="cuckoo-filter pre-filter instead of bloom "
+                         "(same certain-new contract, O(1) deletion)")
     ap.add_argument("--screenshots", action="store_true",
                     help="commit the S6 per-page screenshot table "
                          "(idempotent, first-write-wins on image_id)")
@@ -72,7 +75,8 @@ def main() -> None:
                       restrict_domains=args.restrict_domains)
     eng = FrontierEngine(spark, cfg, args.web, args.ckpt,
                          enforce_politeness=args.politeness,
-                         use_bloom=args.bloom)
+                         use_bloom=args.bloom,
+                         use_cuckoo=args.cuckoo)
     t0 = time.time()
     visits = eng.run()
     visits.write.mode("overwrite").parquet(os.path.join(args.out, "visits"))
