@@ -38,7 +38,7 @@ ensure_bench_web()
 # the measured scaling of the actual distributed work. Standard
 # steady-state benchmarking; both children prewarm identically.
 run_frontier_bench(spark, max_depth=6, pages=50_000, seeds=1024)
-res = run_frontier_bench(spark, max_depth={depth}, also_sharded=True)
+res = run_frontier_bench(spark, max_depth={depth}, also_sharded={sharded})
 print("RESULT " + json.dumps(res))
 """
 
@@ -88,8 +88,10 @@ def run_calibration(small: int, large: int) -> dict:
             "hardware_ceiling_efficiency": round(eff, 3)}
 
 
-def run_one(cores: int, depth: int, pages: int) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, depth=depth)
+def run_one(cores: int, depth: int, pages: int,
+            sharded: bool = True) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, depth=depth,
+                        sharded=sharded)
     env = dict(os.environ, SPARK_GRAFT_BENCH_PAGES=str(pages))
     p = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, cwd=REPO, check=False, env=env)
@@ -106,6 +108,12 @@ def main() -> None:
     ap.add_argument("--depth", type=int, default=8)
     ap.add_argument("--pages", type=int, default=1_000_000)
     ap.add_argument("--json", default="")
+    ap.add_argument("--sharded", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="also time the seed-branch-sharded resolve in "
+                    "each child (--no-sharded skips it; the sharded "
+                    "pass is timed alongside and never enters the "
+                    "end-to-end efficiency numbers)")
     ap.add_argument("--repeat", type=int, default=1,
                     help="runs per level; keep the best (min wall) — "
                     "the sandbox has bursty noisy-neighbor steal, and "
@@ -144,9 +152,9 @@ print("PREWARMED")
 
     calibration = run_calibration(args.small, args.large)
 
-    small_runs = [run_one(args.small, args.depth, args.pages)
+    small_runs = [run_one(args.small, args.depth, args.pages, args.sharded)
                   for _ in range(args.repeat)]
-    large_runs = [run_one(args.large, args.depth, args.pages)
+    large_runs = [run_one(args.large, args.depth, args.pages, args.sharded)
                   for _ in range(args.repeat)]
     small = min(small_runs, key=lambda r: r["sec"])
     large = min(large_runs, key=lambda r: r["sec"])
