@@ -128,23 +128,30 @@ def jaccard_pairs(docs: DataFrame, threshold: float, n: int = 1,
 def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
                        id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """MinHash signatures: num_hashes seed-salted xxhash64 minima over
-    the doc's n-gram set. Pure native exprs, SHUFFLE-FREE: each lane
-    is array_min(transform(grams, g → xxhash64('mh{i}:'||g))) over the
-    per-doc gram array — one narrow codegen projection, where the
-    earlier explode+groupBy formulation shuffled every (doc, gram) row
-    to re-group what was already grouped. The gram array is projected
-    to a named column first so the 64 lanes reference one attribute
-    (not 64 re-expansions of the tokenization subtree)."""
+    """MinHash signatures: num_hashes independent-hash minima over the
+    doc's n-gram set. Pure native exprs, SHUFFLE-FREE, and each gram's
+    string is hashed exactly ONCE: hs = transform(grams, xxhash64),
+    then lane i is array_min(transform(hs, h → xxhash64(h, i))) — a
+    fixed-width long-chained rehash (two XXH64 block rounds) instead
+    of a per-lane string concat + variable-length hash, so the 64
+    lanes cost 64 cheap long hashes per gram rather than 64 string
+    hashes. The earlier explode+groupBy formulation additionally
+    shuffled every (doc, gram) row to re-group what was already
+    grouped. The hash array is projected to a named column first so
+    the 64 lanes reference one attribute (not 64 re-expansions of the
+    tokenization subtree). Bit-exact Python twin:
+    oracle/text_oracle.py:minhash_signature."""
     base = (docs.select(F.col(id_col).alias("id"),
-                        ngrams_col(F.col(text_col), n).alias("grams"))
-            .filter(F.size("grams") > 0))
+                        F.transform(ngrams_col(F.col(text_col), n),
+                                    lambda g: F.xxhash64(g)).alias("hs"))
+            .filter(F.size("hs") > 0))
+
     def lane(i):
         # bound via a def, not a lambda default: a 2-arg lambda would
         # be read by F.transform as (element, index)
-        salt = F.lit(f"mh{i}:")
+        idx = F.lit(i).cast("long")
         return F.array_min(F.transform(
-            "grams", lambda g: F.xxhash64(F.concat(salt, g))))
+            "hs", lambda h: F.xxhash64(h, idx)))
 
     return base.select(
         "id", F.array(*[lane(i) for i in range(num_hashes)])

@@ -10,8 +10,9 @@ No Spark imports."""
 from __future__ import annotations
 
 import re
+import struct
 
-from ..core.xxhash64 import spark_xxhash64_str
+from ..core.xxhash64 import spark_xxhash64_str, xxhash64
 
 _TOKEN_RE = re.compile(r"[^a-z0-9]+")
 
@@ -41,9 +42,23 @@ def ngrams(text: str, n: int = 3) -> list[str]:
     return out
 
 
+def _xxh64_long(v: int, seed: int) -> int:
+    """Spark's xxhash64 over one long argument with *seed*: XXH64 of
+    the value's 8-byte little-endian representation (verified equal to
+    Spark's XxHash64Function.hashLong chaining). Signed in, signed out
+    — matching Spark long semantics."""
+    if v >= 1 << 63:
+        v -= 1 << 64
+    u = xxhash64(struct.pack("<q", v), seed & ((1 << 64) - 1))
+    return u - (1 << 64) if u >= 1 << 63 else u
+
+
 def minhash_signature(text: str, num_hashes: int = 64, n: int = 3) -> list[int]:
-    gs = ngrams(text, n)
-    return [min(spark_xxhash64_str(f"mh{i}:{g}") for g in gs)
+    """Twin of operators/dedup.py:minhash_signatures — each gram is
+    xxhash64'd once; lane i rehashes that long chained with i, exactly
+    Spark's multi-arg xxhash64(h, i)."""
+    hs = [spark_xxhash64_str(g) for g in ngrams(text, n)]
+    return [min(_xxh64_long(i, _xxh64_long(h, 42)) for h in hs)
             for i in range(num_hashes)]
 
 
