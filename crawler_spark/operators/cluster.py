@@ -37,9 +37,14 @@ def connected_components(ids: DataFrame, pairs: DataFrame,
 
     Returns (id_col, canonical_id). Deterministic under any
     partitioning: min is order-independent."""
+    # edges are hash-partitioned on dst ONCE before the checkpoint
+    # (LogicalRDD keeps the output partitioning), so every round's
+    # probe join re-exchanges only the label side, never the edge
+    # list — the larger relation at scale
     edges = (pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
              .unionByName(pairs.select(F.col(dst).alias("src"),
-                                       F.col(src).alias("dst"))))
+                                       F.col(src).alias("dst")))
+             .repartition("dst"))
     labels = ids.select(F.col(id_col).alias("src"),
                         F.col(id_col).alias("label"))
     edges = edges.localCheckpoint()
@@ -47,16 +52,18 @@ def connected_components(ids: DataFrame, pairs: DataFrame,
     for _ in range(max_iters):
         neigh = (edges.join(labels.withColumnRenamed("src", "dst"), "dst")
                  .groupBy("src").agg(F.min("label").alias("nlabel")))
+        # the previous label rides along as `old`, so the convergence
+        # check is a filter-count over the just-checkpointed frame —
+        # not an extra join against the previous round
         new_labels = (labels.join(neigh, "src", "left")
                       .select("src", F.least(
                           F.col("label"),
                           F.coalesce("nlabel", F.col("label")))
-                          .alias("label"))
+                          .alias("label"),
+                          F.col("label").alias("old"))
                       .localCheckpoint())
-        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
-                                   "src")
-                   .filter(F.col("label") != F.col("old")).count())
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("old")).count()
+        labels = new_labels.drop("old")
         if changed == 0:
             break
     return labels.select(F.col("src").alias(id_col),
