@@ -177,10 +177,12 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
                         F.transform(ngrams_col(F.col(text_col), n),
                                     lambda g: F.xxhash64(g)).alias("hs"))
             .filter(F.size("hs") > 0))
-
     def lane(i):
         # bound via a def, not a lambda default: a 2-arg lambda would
-        # be read by F.transform as (element, index)
+        # be read by F.transform as (element, index). 64 parallel lane
+        # columns beat one nested transform(sequence(0,63), ...) tree
+        # by ~3x measured — the outer-lambda-var form drops the whole
+        # projection to interpreted eval.
         idx = F.lit(i).cast("long")
         return F.array_min(F.transform(
             "hs", lambda h: F.xxhash64(h, idx)))
@@ -201,12 +203,14 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     band digest — no all-pairs."""
     rows = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n, id_col, text_col).cache()
+    # band digest = native multi-arg xxhash64 over the band's `rows`
+    # signature longs (fixed-width chaining — no per-band string
+    # concat + re-hash). Twin: oracle/text_oracle.py:band_digest.
     banded = sig.select(
         "id", "signature",
         F.posexplode(F.array(*[
-            F.xxhash64(F.concat_ws(
-                ",", *[F.element_at("signature", b * rows + r + 1).cast("string")
-                       for r in range(rows)]))
+            F.xxhash64(*[F.element_at("signature", b * rows + r + 1)
+                         for r in range(rows)])
             for b in range(bands)])).alias("band_id", "digest"))
     a = banded.select(F.col("id").alias("id_a"),
                       F.col("signature").alias("sig_a"), "band_id", "digest")

@@ -62,6 +62,16 @@ def minhash_signature(text: str, num_hashes: int = 64, n: int = 3) -> list[int]:
             for i in range(num_hashes)]
 
 
+def band_digest(values: list[int]) -> int:
+    """Twin of the minhash_lsh_pairs band digest — Spark's multi-arg
+    xxhash64 over the band's signature longs: seed-42 hashLong
+    chaining across the arguments."""
+    h = 42
+    for v in values:
+        h = _xxh64_long(v, h)
+    return h
+
+
 def simhash(text: str) -> int:
     votes = [0] * 64
     for t in tokens(text, distinct=True):

@@ -92,8 +92,7 @@ def gen_minhash_lsh(sf: str, threshold: float = 0.5, num_hashes: int = 64,
     buckets: dict[tuple[int, int], list[int]] = {}
     for doc_id, sig in sigs.items():
         for b in range(bands):
-            digest = spark_xxhash64_str(
-                ",".join(str(v) for v in sig[b * rows:(b + 1) * rows]))
+            digest = to.band_digest(sig[b * rows:(b + 1) * rows])
             buckets.setdefault((b, digest), []).append(doc_id)
     cand = set()
     for ids in buckets.values():
