@@ -1030,47 +1030,58 @@ class FrontierEngine:
             masks[shard // 64] = bit - (1 << 64) if bit >= (1 << 63) else bit
             return (node, *masks)
 
-        frontier = (self.spark.createDataFrame(
+        # per-level frontiers cross a parquet write/read barrier
+        # (level dirs under the checkpoint), NOT localCheckpoint: each
+        # level's plan joins two subtrees that both descend from the
+        # previous level (cand via `frontier`, seen via the cumulative
+        # read), and Spark 4.1 leaks driver-side work that doubles per
+        # generation when such diamonds chain through checkpoints (see
+        # operators/cluster.py:connected_components, where it was
+        # measured). File-scan-rooted rounds stay constant-cost, and
+        # the cumulative `seen` becomes ONE multi-dir scan instead of
+        # a per-level union of checkpoint frames.
+        label_dir = self._paths("shard_label")
+        if os.path.isdir(label_dir):
+            shutil.rmtree(label_dir)
+
+        def _level_path(lv: int) -> str:
+            return os.path.join(label_dir, f"level={lv:03d}")
+
+        (self.spark.createDataFrame(
             [_seed_row(s, i) for s, ids in shard_seed_ids.items()
              for i in ids],
-            f"node int, {mask_ddl}").localCheckpoint())
+            f"node int, {mask_ddl}")
+         .write.parquet(_level_path(0)))
+        level_paths = [_level_path(0)]
+        frontier = self.spark.read.parquet(*level_paths)
 
         def _bit_or_all(df: DataFrame, key: str) -> DataFrame:
             return df.groupBy(key).agg(
                 *[F.bit_or(c).alias(c) for c in mask_cols])
 
-        # cumulative reach = union of the per-level frontiers, each
-        # already checkpointed — re-materializing the whole cumulative
-        # set every level (its old localCheckpoint) was O(levels ×
-        # |reach|) of pure copying
-        frontiers = [frontier]
         new_bits = [F.col(c).bitwiseAND(
             F.bitwise_not(F.coalesce(F.col(f"s_{c}"), F.lit(0)
                                      .cast("long"))))
             for c in mask_cols]
-        for _ in range(int(self.cfg.max_depth)):
-            reach_u = frontiers[0]
-            for f_lv in frontiers[1:]:
-                reach_u = reach_u.unionByName(f_lv)
-            seen = _bit_or_all(reach_u, "node").select(
+        for lv in range(1, int(self.cfg.max_depth) + 1):
+            seen = _bit_or_all(self.spark.read.parquet(*level_paths),
+                               "node").select(
                 "node", *[F.col(c).alias(f"s_{c}") for c in mask_cols])
             cand = _bit_or_all(
                 enc.join(frontier.hint("shuffle_hash")
                          .withColumnRenamed("node", "p_id"), "p_id")
                    .filter(F.col("c_id") >= 0)
                    .withColumnRenamed("c_id", "node"), "node")
-            nxt = (cand.join(seen, "node", "left")
-                   .select("node", *[nb.alias(c) for nb, c
-                                     in zip(new_bits, mask_cols)])
-                   .filter(" or ".join(f"{c} != 0" for c in mask_cols))
-                   .localCheckpoint())
-            if nxt.isEmpty():
+            (cand.join(seen, "node", "left")
+             .select("node", *[nb.alias(c) for nb, c
+                               in zip(new_bits, mask_cols)])
+             .filter(" or ".join(f"{c} != 0" for c in mask_cols))
+             .write.parquet(_level_path(lv)))
+            if sum(self._footer_rows(_level_path(lv)).values()) == 0:
                 break
-            frontiers.append(nxt)
-            frontier = nxt
-        reach_u = frontiers[0]
-        for f_lv in frontiers[1:]:
-            reach_u = reach_u.unionByName(f_lv)
+            level_paths.append(_level_path(lv))
+            frontier = self.spark.read.parquet(_level_path(lv))
+        reach_u = self.spark.read.parquet(*level_paths)
         # unfold the masks into (node, shard) only now, for the
         # shard-partitioned write
         arr = "array(" + ", ".join(mask_cols) + ")"
