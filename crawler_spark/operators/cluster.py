@@ -79,7 +79,12 @@ def connected_components(ids: DataFrame, pairs: DataFrame,
              .localCheckpoint())
     labels = ids.select(F.col(id_col).alias("src"),
                         F.col(id_col).alias("label"))
-    tmp = work_dir or tempfile.mkdtemp(prefix="crawler_spark_cc_")
+    # local-mode default rides tmpfs when present (the round tables
+    # are written and re-read immediately; same choice as the bench
+    # checkpoint) — cluster callers pass shared storage instead
+    tmp = work_dir or tempfile.mkdtemp(
+        prefix="crawler_spark_cc_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
     os.makedirs(tmp, exist_ok=True)
     try:
         converged = False
