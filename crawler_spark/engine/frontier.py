@@ -91,6 +91,68 @@ def _read_parquet_dir(path: str, empty_schema):
     return pa.concat_tables(parts)
 
 
+_MONO_MASK = (1 << 33) - 1  # monotonically_increasing_id ordinal bits
+
+
+def _node_offsets(path: str) -> tuple[dict[int, int], int]:
+    """Per-write-partition dense-id offsets of a node table written
+    with a `mono` = monotonically_increasing_id column, from parquet
+    FOOTERS only (zero Spark jobs): each file was written by exactly
+    one task, so every row shares the file's partition id (mono >>
+    33); the file's row count comes from its footer and its pid from
+    the mono column's row-group min statistic. Offsets accumulate in
+    pid order — identical ids to a per-pid count pass + window."""
+    import pyarrow.parquet as pq
+
+    per_pid: dict[int, int] = {}
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        if md.num_rows == 0:
+            continue
+        idx = md.schema.to_arrow_schema().get_field_index("mono")
+        pid = md.row_group(0).column(idx).statistics.min >> 33
+        per_pid[pid] = per_pid.get(pid, 0) + md.num_rows
+    offs: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(per_pid):
+        offs[pid] = acc
+        acc += per_pid[pid]
+    return offs, acc
+
+
+def _node_hash_by_id(nodes_path: str):
+    """id → hash dictionary (numpy int64, indexed by dense id) from
+    the (h, mono) node table. Each file holds one write partition
+    (one pid), so its ids are the contiguous range offs[pid] +
+    [0..rows) — per-file scatters are disjoint and the thread-pooled
+    load is race-free. Ids derived here are bit-identical to the
+    Spark-side `nodes_id` projection (same offsets, same ordinals)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from concurrent.futures import ThreadPoolExecutor
+
+    offs, n_nodes = _node_offsets(nodes_path)
+    node_arr = np.empty(n_nodes, np.int64)
+    files = [os.path.join(nodes_path, f) for f in os.listdir(nodes_path)
+             if f.endswith(".parquet")]
+
+    def load(f: str) -> None:
+        t = pq.read_table(f, columns=["h", "mono"])
+        if len(t) == 0:
+            return
+        mono = t["mono"].to_numpy(zero_copy_only=False)
+        base = offs[int(mono[0]) >> 33]
+        ids = base + (mono & _MONO_MASK)
+        node_arr[ids] = t["h"].to_numpy(zero_copy_only=False)
+
+    if files:
+        with ThreadPoolExecutor(min(16, len(files))) as ex:
+            list(ex.map(load, files))
+    return node_arr
+
+
 # ---------------------------------------------------------------------------
 # admission (F2-F5) as reusable native expressions
 # ---------------------------------------------------------------------------
@@ -818,36 +880,39 @@ class FrontierEngine:
         # max_depth has BFS depth ≤ its DFS depth, so BFS admitted it
         # into a frontier round; edges to deeper children are dead and
         # marked id -1 below) with a DENSE int32 id assigned
-        # DISTRIBUTED: hash-partition by h, per-partition ordinal via
-        # a pid-local window, plus a per-partition offset from one
-        # tiny count pass — a DataFrame zipWithIndex (no RDD-API
+        # DISTRIBUTED (a DataFrame zipWithIndex — no RDD-API
         # round-trip through Python serialization). Dense ids keep the
         # sweep's random-access state at ~8 bytes/node (L3-resident)
         # instead of an open-addressing hash walk, which was
         # memory-bound at bench scale.
         nodes_path = self._paths("nodes")
-        nodes = (self.frontier_table.read(schema=self._frontier_schema)
-                 .select(url_hash(F.col("url")).alias("h"))
-                 .unionByName(seeds.select(url_hash(F.col("url")).alias("h")))
-                 .distinct()
-                 .repartition(npart, "h")
-                 .sortWithinPartitions("h")
-                 .withColumn("pid", F.spark_partition_id())
-                 .localCheckpoint())  # pin partition ids across jobs
-        cnt = sorted((r["pid"], r["n"]) for r in
-                     nodes.groupBy("pid").agg(F.count("*").alias("n"))
-                     .collect())
-        offs, acc = [], 0
-        for pid, n_rows in cnt:
-            offs.append((pid, acc))
-            acc += n_rows
-        off_df = self.spark.createDataFrame(offs, "pid int, off long")
-        w_pid = Window.partitionBy("pid").orderBy("h")
-        (nodes.join(F.broadcast(off_df), "pid")
-         .select("h", (F.row_number().over(w_pid) - 1 + F.col("off"))
-                 .cast("int").alias("id"))
+        # ONE job: distinct → hash-partition by h → partition-local
+        # sort → store (h, mono) where mono =
+        # monotonically_increasing_id = (pid << 33) | local ordinal,
+        # assigned in the sorted row order. The dense id = per-pid
+        # offset + ordinal is then DERIVED — offsets come from parquet
+        # footers (_node_offsets, zero jobs), and the id projection
+        # fuses into each consumer's plan. This replaces a 3-job
+        # sequence (localCheckpoint pinning pids, a per-pid count
+        # collect, a windowed re-write) with identical resulting ids.
+        (self.frontier_table.read(schema=self._frontier_schema)
+         .select(url_hash(F.col("url")).alias("h"))
+         .unionByName(seeds.select(url_hash(F.col("url")).alias("h")))
+         .distinct()
+         .repartition(npart, "h")
+         .sortWithinPartitions("h")
+         .withColumn("mono", F.monotonically_increasing_id())
          .write.mode("overwrite").parquet(nodes_path))
-        nodes_id = self.spark.read.parquet(nodes_path)
+        offs, _ = _node_offsets(nodes_path)
+        off_df = self.spark.createDataFrame(
+            list(offs.items()) or [(0, 0)], "pid int, off long")
+        nodes_id = (self.spark.read.parquet(nodes_path)
+                    .withColumn("pid", F.shiftrightunsigned("mono", 33)
+                                .cast("int"))
+                    .join(F.broadcast(off_df), "pid")
+                    .select("h", (F.col("off")
+                                  + F.col("mono").bitwiseAND(_MONO_MASK))
+                            .cast("int").alias("id")))
         self.timings["nodes_write"] = round(time.time() - t0, 2)
         t0 = time.time()
         # skeleton: edges dictionary-encoded to dense int32 ids
@@ -900,20 +965,13 @@ class FrontierEngine:
             skel_path, {"p_id": pa.array([], pa.int32()),
                         "i": pa.array([], pa.int32()),
                         "c_id": pa.array([], pa.int32())})
-        node_t = _read_parquet_dir(
-            nodes_path, {"h": pa.array([], pa.int64()),
-                         "id": pa.array([], pa.int32())})
         self.timings["skeleton_read"] = round(time.time() - t0, 2)
         t0 = time.time()
         import numpy as np
 
-        # id → hash dictionary for the final rank→url handoff; a
-        # direct scatter, so driver-side file order never matters
-        n_nodes = len(node_t)
-        node_arr = np.empty(n_nodes, np.int64)
-        node_arr[node_t["id"].to_numpy(zero_copy_only=False)] = \
-            node_t["h"].to_numpy(zero_copy_only=False)
-        del node_t
+        # id → hash dictionary for the final rank→url handoff
+        node_arr = _node_hash_by_id(nodes_path)
+        n_nodes = len(node_arr)
         # seeds sorted by prio string ≡ seed_rank order: the oracle
         # crawls each seed's subtree to completion before the next;
         # ids come from the same node table the edges were encoded
@@ -1128,14 +1186,8 @@ class FrontierEngine:
         # shard 0's load overlaps the node-table read below — the only
         # shard whose IO nothing else can hide
         nxt_fut = pool.submit(_load_shard, order[0])
-        node_t = _read_parquet_dir(
-            nodes_path, {"h": pa.array([], pa.int64()),
-                         "id": pa.array([], pa.int32())})
-        n_nodes = len(node_t)
-        node_arr = np.empty(n_nodes, np.int64)
-        node_arr[node_t["id"].to_numpy(zero_copy_only=False)] = \
-            node_t["h"].to_numpy(zero_copy_only=False)
-        del node_t
+        node_arr = _node_hash_by_id(nodes_path)
+        n_nodes = len(node_arr)
         self.timings["skeleton_read"] = round(time.time() - t0, 2)
         t0 = time.time()
         claims_path = self._paths("claims")
