@@ -11,7 +11,11 @@ runtime jars). Provides the three properties the engine relies on:
     lineage the north rule asks for,
   * MERGE-style upsert (`merge`): WHEN MATCHED UPDATE / WHEN NOT
     MATCHED INSERT keyed on arbitrary columns, and time-travel reads
-    by snapshot id.
+    by snapshot id,
+  * maintenance: `compact()` (Iceberg rewrite_data_files — a
+    resumable crawl's per-round fast-appends leave thousands of
+    small files) and `expire()` (expire_snapshots — reclaim storage
+    held live by time travel).
 
 On a real cluster every call here maps 1:1 onto
 `df.writeTo("catalog.db.t").append()` / `MERGE INTO` /
@@ -20,11 +24,39 @@ On a real cluster every call here maps 1:1 onto
 from __future__ import annotations
 
 import json
+import math
 import os
+import shutil
 import time
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def _member_signature(member: str) -> tuple:
+    """Directory-structure signature of a member rel path, from its
+    NAME alone (no disk walk — read() runs on the per-round hot path).
+    Spark's partition discovery requires every path in one scan to
+    share a consistent layout relative to basePath; members whose
+    signatures differ must go in separate scans. Three shapes exist:
+
+      * hive members (`round=00001`, nested `sel=`/`kind=` inside) —
+        written by the engine's commit_dir rounds,
+      * flat members (`snap-000007`, plain part files) — written by
+        overwrite / merge / insert_if_absent,
+      * nested members (`compact-000009`, hive dirs INSIDE a non-hive
+        dir) — written by compact().
+
+    Hive and nested members RECOVER the same partition columns (Spark
+    skips non-`key=value` segments between basePath and the files),
+    but mixing them in one scan raises
+    CONFLICTING_DIRECTORY_STRUCTURES — hence the grouping."""
+    segs = member.split("/")
+    if segs[-1].startswith("compact-"):
+        return ("nested",)
+    keys = tuple(s.split("=", 1)[0] for s in segs if "=" in s)
+    return ("hive",) + keys if keys else ("flat",)
 
 
 class SnapshotTable:
@@ -51,10 +83,17 @@ class SnapshotTable:
             json.dump(mani, f, indent=1)
         os.replace(tmp, self._manifest_path)  # atomic pointer swap
 
+    @staticmethod
+    def _next_id(mani: dict) -> int:
+        """Monotonic snapshot ids — max+1, NOT len+1: expire() removes
+        manifest entries, and a reused id would corrupt time travel."""
+        snaps = mani["snapshots"]
+        return (max(s["id"] for s in snaps) + 1) if snaps else 1
+
     def _write_snapshot(self, df: DataFrame, op: str,
                         members: list[str]) -> None:
         mani = self._manifest()
-        sid = len(mani["snapshots"]) + 1
+        sid = self._next_id(mani)
         snap_dir = os.path.join(self.path, f"snap-{sid:06d}")
         df.write.mode("overwrite").parquet(snap_dir)
         written = self.spark.read.parquet(snap_dir)
@@ -94,17 +133,37 @@ class SnapshotTable:
         sid = snapshot_id or mani["current"]
         if sid is None:
             raise FileNotFoundError(f"{self.path}: empty table")
-        snap = next(s for s in mani["snapshots"] if s["id"] == sid)
-        dirs = [os.path.join(self.path, m) for m in snap["members"]]
+        snap = next((s for s in mani["snapshots"] if s["id"] == sid), None)
+        if snap is None:
+            raise ValueError(
+                f"{self.path}: snapshot {sid} not in manifest "
+                f"(expired or never committed)")
         # basePath is always set: members use hive-style dir names
         # (round=NNNNN), and a multi-dir read without a common base
         # is rejected by the scan builder. Partition columns come for
         # free; with_partition_columns=False callers just don't
-        # select them.
-        reader = self.spark.read.option("basePath", self.path)
-        if schema is not None:
-            reader = reader.schema(schema)
-        return reader.parquet(*dirs)
+        # select them. Members with DIFFERENT directory structures
+        # (hive rounds vs a compact() rewrite) cannot share one scan —
+        # Spark raises CONFLICTING_DIRECTORY_STRUCTURES — so members
+        # are grouped by structure signature and the group scans
+        # unioned; a homogeneous snapshot (the hot engine path) stays
+        # a single scan.
+        groups: dict[tuple, list[str]] = {}
+        for m in snap["members"]:
+            groups.setdefault(_member_signature(m), []).append(m)
+
+        def _scan(members: list[str]) -> DataFrame:
+            reader = self.spark.read.option("basePath", self.path)
+            if schema is not None:
+                reader = reader.schema(schema)
+            return reader.parquet(*[os.path.join(self.path, m)
+                                    for m in members])
+
+        scans = [_scan(ms) for ms in groups.values()]
+        if len(scans) == 1:
+            return scans[0]
+        return reduce(lambda a, b: a.unionByName(
+            b, allowMissingColumns=True), scans)
 
     def lineage(self) -> list[dict]:
         """Snapshot history — id, parent, op, rows, per-partition
@@ -118,7 +177,7 @@ class SnapshotTable:
 
     def overwrite(self, df: DataFrame) -> None:
         mani = self._manifest()
-        sid = len(mani["snapshots"]) + 1
+        sid = self._next_id(mani)
         self._write_snapshot(df, "overwrite", [f"snap-{sid:06d}"])
 
     def append(self, df: DataFrame) -> None:
@@ -128,7 +187,7 @@ class SnapshotTable:
         if mani["current"] is None:
             return self.overwrite(df)
         cur = next(s for s in mani["snapshots"] if s["id"] == mani["current"])
-        sid = len(mani["snapshots"]) + 1
+        sid = self._next_id(mani)
         new_dir = f"snap-{sid:06d}"
         df.write.mode("overwrite").parquet(os.path.join(self.path, new_dir))
         written = self.spark.read.parquet(os.path.join(self.path, new_dir))
@@ -158,7 +217,7 @@ class SnapshotTable:
         if mani["current"] is not None:
             cur_members = next(s for s in mani["snapshots"]
                                if s["id"] == mani["current"])["members"]
-        sid = len(mani["snapshots"]) + 1
+        sid = self._next_id(mani)
         # idempotent re-commit: a replayed round (crash after commit,
         # resume rewrote the dir) must not list its dir twice
         members = (cur_members if rel_dir in cur_members
@@ -184,7 +243,7 @@ class SnapshotTable:
         if mani["current"] is not None:
             cur_members = next(s for s in mani["snapshots"]
                                if s["id"] == mani["current"])["members"]
-        sid = len(mani["snapshots"]) + 1
+        sid = self._next_id(mani)
         snap = {"id": sid, "parent": mani["current"], "op": op,
                 "ts": time.time(), "rows": 0, "partition_rows": {},
                 "members": cur_members}
@@ -214,7 +273,7 @@ class SnapshotTable:
         fresh = updates.select(*cur.columns).join(
             cur.select(*key_cols).distinct(), key_cols, "left_anti")
         mani = self._manifest()
-        sid = len(mani["snapshots"]) + 1
+        sid = self._next_id(mani)
         self._write_snapshot(cur.unionByName(fresh), "insert_if_absent",
                              [f"snap-{sid:06d}"])
 
@@ -236,5 +295,105 @@ class SnapshotTable:
                              key_cols, "left_anti")
         merged = untouched.unionByName(updates.select(*cur.columns))
         mani = self._manifest()
-        sid = len(mani["snapshots"]) + 1
+        sid = self._next_id(mani)
         self._write_snapshot(merged, "merge", [f"snap-{sid:06d}"])
+
+    # ---- maintenance (the two ops a 100 TB resumable crawl needs) ----
+
+    def compact(self, target_file_mb: int = 128) -> dict:
+        """OPTIMIZE-style small-file compaction (Iceberg
+        `rewrite_data_files`). A resumable crawl fast-appends one dir
+        per micro-batch round — thousands of rounds × 32 task files
+        each leaves a file census no 100 TB scan should pay per query.
+        Rewrites the CURRENT snapshot's data into ~`target_file_mb`
+        files, clustered by the table's hive partition columns (each
+        partition value's rows land in one task → one file per hive
+        leaf), and commits it as a new snapshot. Logical content is
+        unchanged; older snapshots stay time-travelable until
+        expire(). File census and partition keys come from one
+        driver-side fs walk — the same metadata Iceberg keeps in its
+        manifests; on a real cluster this is a metadata-only planning
+        step."""
+        import pyarrow.parquet as pq
+
+        mani = self._manifest()
+        if mani["current"] is None:
+            raise FileNotFoundError(f"{self.path}: empty table")
+        cur = next(s for s in mani["snapshots"]
+                   if s["id"] == mani["current"])
+        files_before, bytes_before = 0, 0
+        pkeys: list[str] = []
+        for m in cur["members"]:
+            for r, _d, fs in os.walk(os.path.join(self.path, m)):
+                for f in fs:
+                    if not f.endswith(".parquet"):
+                        continue
+                    files_before += 1
+                    bytes_before += os.path.getsize(os.path.join(r, f))
+                    keys = [s.split("=", 1)[0]
+                            for s in os.path.relpath(r, self.path).split(os.sep)
+                            if "=" in s]
+                    if len(keys) > len(pkeys):
+                        pkeys = keys
+        df = self.read()
+        sid = self._next_id(mani)
+        new_dir = f"compact-{sid:06d}"
+        out = os.path.join(self.path, new_dir)
+        n_files = max(1, math.ceil(bytes_before / (target_file_mb << 20)))
+        if pkeys:
+            (df.repartition(n_files, *pkeys)
+               .write.mode("overwrite").partitionBy(*pkeys).parquet(out))
+        else:
+            df.repartition(n_files).write.mode("overwrite").parquet(out)
+        partition_rows: dict[str, int] = {}
+        files_after = 0
+        for r, _d, fs in sorted(os.walk(out)):
+            for f in sorted(fs):
+                if f.endswith(".parquet"):
+                    files_after += 1
+                    rel = os.path.relpath(os.path.join(r, f), out)
+                    partition_rows[rel] = pq.ParquetFile(
+                        os.path.join(r, f)).metadata.num_rows
+        mani["snapshots"].append({
+            "id": sid, "parent": mani["current"], "op": "compact",
+            "ts": time.time(),
+            "rows": int(sum(partition_rows.values())),
+            "partition_rows": partition_rows,
+            "members": [new_dir],
+            "files_before": files_before, "files_after": files_after,
+            "bytes_rewritten": bytes_before,
+        })
+        mani["current"] = sid
+        self._commit(mani)
+        return {"files_before": files_before, "files_after": files_after,
+                "rows": int(sum(partition_rows.values()))}
+
+    def expire(self, keep_last: int = 1) -> dict:
+        """Iceberg `expire_snapshots` shape: retain the most recent
+        `keep_last` snapshots, drop older manifest entries, and delete
+        member dirs no retained snapshot references. Without this, a
+        compacted table still stores every pre-compaction file forever
+        (time travel holds them live). The oldest retained snapshot's
+        `parent` may point at an expired id — lineage truncates, same
+        as Iceberg."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        mani = self._manifest()
+        snaps = mani["snapshots"]
+        if len(snaps) <= keep_last:
+            return {"expired": 0, "deleted_dirs": []}
+        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        kept_members = {m for s in keep for m in s["members"]}
+        deleted: list[str] = []
+        for m in sorted({m for s in drop for m in s["members"]}):
+            # skip members still referenced, or nested under/over one
+            if any(m == k or m.startswith(k + "/") or k.startswith(m + "/")
+                   for k in kept_members):
+                continue
+            d = os.path.join(self.path, m)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+                deleted.append(m)
+        mani["snapshots"] = keep
+        self._commit(mani)
+        return {"expired": len(drop), "deleted_dirs": deleted}

@@ -49,6 +49,11 @@ def main() -> None:
     ap.add_argument("--screenshots", action="store_true",
                     help="commit the S6 per-page screenshot table "
                          "(idempotent, first-write-wins on image_id)")
+    ap.add_argument("--compact", action="store_true",
+                    help="post-crawl table maintenance: compact the "
+                         "per-round fast-append crawl/frontier tables "
+                         "(Iceberg rewrite_data_files shape) and expire "
+                         "pre-compaction snapshots")
     ap.add_argument("--cores", type=int, default=0,
                     help="local[N]; 0 = let spark-submit decide")
     args = ap.parse_args()
@@ -87,11 +92,23 @@ def main() -> None:
         os.path.join(args.out, "image_refs"))
     if args.screenshots:
         eng.write_screenshots(visits)
+    maintenance = {}
+    if args.compact:
+        # a depth-8 crawl fast-appended ~9 round dirs × 32 task files
+        # per table; at 10^10 URLs that census is what every later
+        # scan pays — rewrite once, then drop the superseded snapshots
+        for name, tbl in (("crawl", eng.crawl_table),
+                          ("frontier", eng.frontier_table)):
+            stats = tbl.compact()
+            tbl.expire(keep_last=1)
+            maintenance[name] = stats
     n = visits.count()
     dt = time.time() - t0
-    print(json.dumps({"visited_urls": n, "sec": round(dt, 2),
-                      "urls_per_sec": round(n / dt, 1),
-                      "out": args.out}))
+    out = {"visited_urls": n, "sec": round(dt, 2),
+           "urls_per_sec": round(n / dt, 1), "out": args.out}
+    if maintenance:
+        out["compacted"] = maintenance
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
