@@ -521,7 +521,23 @@ class FrontierEngine:
         (instead of a separate cache+count selection job at the start
         of the next round) keeps a politeness round at the same three
         Spark jobs as a non-politeness one — the per-round fixed cost
-        is the scaling-efficiency denominator, so every job counts."""
+        is the scaling-efficiency denominator, so every job counts.
+
+        Scale note (write amplification): a deferred row is rewritten
+        once per window it waits, so a host with queue depth Q and
+        per-window cap c costs ~Q²/(2c) extra row-writes over its
+        drain. This is the price of the exact-order contract — a
+        round's NEW arrivals can interleave with equal-depth pending
+        rows (the rank is (depth, url) within host), so a persistent
+        queue with a pop cursor would reorder vs the reference. It is
+        bounded in practice because the cap scales with cluster
+        capacity while Q is bounded by the reference's own per-host
+        serialization. The implementable mitigation if a mega-host
+        ever dominates I/O: pending rows STRICTLY shallower than the
+        round's minimum arrival depth can never be overtaken, so only
+        the equal-or-deeper tail needs the re-rank+rewrite; the
+        shallow prefix could be cursor-popped from its already-sorted
+        files without rewriting."""
         if self.enforce_politeness:
             out = self._politeness_mark(frontier)
         else:
