@@ -397,3 +397,28 @@ class SnapshotTable:
         mani["snapshots"] = keep
         self._commit(mani)
         return {"expired": len(drop), "deleted_dirs": deleted}
+
+    def remove_orphans(self, grace_sec: int = 3600) -> dict:
+        """Iceberg `remove_orphan_files` shape: delete top-level dirs
+        under the table path that NO snapshot references — debris from
+        writes that crashed before their commit. commit_dir's
+        crash-consistency property already makes such dirs invisible
+        to readers; this reclaims their storage. A grace period guards
+        in-flight writes: only dirs whose newest file mtime is older
+        than `grace_sec` survive-check as abandoned."""
+        mani = self._manifest()
+        referenced = {m.split("/", 1)[0]
+                      for s in mani["snapshots"] for m in s["members"]}
+        deleted: list[str] = []
+        now = time.time()
+        for d in sorted(os.listdir(self.path)):
+            full = os.path.join(self.path, d)
+            if not os.path.isdir(full) or d in referenced:
+                continue
+            newest = max((os.path.getmtime(os.path.join(r, f))
+                          for r, _dd, fs in os.walk(full) for f in fs),
+                         default=os.path.getmtime(full))
+            if now - newest >= grace_sec:
+                shutil.rmtree(full)
+                deleted.append(d)
+        return {"deleted_dirs": deleted}

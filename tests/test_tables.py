@@ -100,6 +100,32 @@ def test_compact_and_expire(spark, tmp_path):
     assert t.lineage()[-1]["id"] == 6
 
 
+def test_remove_orphans(spark, tmp_path):
+    import os
+    import time as _t
+    tbl = tmp_path / "tblo"
+    t = SnapshotTable(spark, str(tbl))
+    _write_round(spark, tbl, t, 0)
+    # simulate a write that crashed before its commit: a round dir on
+    # disk that no snapshot references
+    orphan = tbl / "round=00001"
+    orphan.mkdir()
+    (orphan / "part-0.parquet").write_bytes(b"junk")
+    old = _t.time() - 7200
+    os.utime(orphan / "part-0.parquet", (old, old))
+    os.utime(orphan, (old, old))
+    # a FRESH unreferenced dir is protected by the grace period
+    fresh = tbl / "round=00002"
+    fresh.mkdir()
+    (fresh / "part-0.parquet").write_bytes(b"junk")
+
+    res = t.remove_orphans(grace_sec=3600)
+    assert res["deleted_dirs"] == ["round=00001"]
+    assert not orphan.exists() and fresh.exists()
+    assert (tbl / "round=00000").exists()  # referenced member untouched
+    assert t.read().count() == 100
+
+
 def test_compact_flat_table(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "tblf"))
     t.overwrite(spark.range(0, 50).select(F.col("id")))
