@@ -298,9 +298,10 @@ class SnapshotTable:
         sid = self._next_id(mani)
         self._write_snapshot(merged, "merge", [f"snap-{sid:06d}"])
 
-    # ---- maintenance (the two ops a 100 TB resumable crawl needs) ----
+    # ---- maintenance (the ops a 100 TB resumable crawl needs) ----
 
-    def compact(self, target_file_mb: int = 128) -> dict:
+    def compact(self, target_file_mb: int = 128,
+                sort_cols: list[str] | None = None) -> dict:
         """OPTIMIZE-style small-file compaction (Iceberg
         `rewrite_data_files`). A resumable crawl fast-appends one dir
         per micro-batch round — thousands of rounds × 32 task files
@@ -313,7 +314,16 @@ class SnapshotTable:
         expire(). File census and partition keys come from one
         driver-side fs walk — the same metadata Iceberg keeps in its
         manifests; on a real cluster this is a metadata-only planning
-        step."""
+        step.
+
+        `sort_cols`: sort-clustered rewrite (Iceberg's sort order /
+        rewrite strategy=sort). Unpartitioned data is RANGE-partitioned
+        on the sort key — files get disjoint key ranges, so a point or
+        range scan prunes to one file via parquet min/max row-group
+        stats instead of touching all of them; hive-partitioned data
+        keeps its partition clustering and sorts within files. This is
+        what makes a 10^10-row URL-seen table answer membership probes
+        without a full scan."""
         import pyarrow.parquet as pq
 
         mani = self._manifest()
@@ -341,8 +351,14 @@ class SnapshotTable:
         out = os.path.join(self.path, new_dir)
         n_files = max(1, math.ceil(bytes_before / (target_file_mb << 20)))
         if pkeys:
-            (df.repartition(n_files, *pkeys)
-               .write.mode("overwrite").partitionBy(*pkeys).parquet(out))
+            w = df.repartition(n_files, *pkeys)
+            if sort_cols:
+                w = w.sortWithinPartitions(*(pkeys + sort_cols))
+            w.write.mode("overwrite").partitionBy(*pkeys).parquet(out)
+        elif sort_cols:
+            (df.repartitionByRange(n_files, *sort_cols)
+               .sortWithinPartitions(*sort_cols)
+               .write.mode("overwrite").parquet(out))
         else:
             df.repartition(n_files).write.mode("overwrite").parquet(out)
         partition_rows: dict[str, int] = {}

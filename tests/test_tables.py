@@ -137,6 +137,94 @@ def test_compact_flat_table(spark, tmp_path):
     assert stats["files_after"] <= stats["files_before"]
 
 
+def test_compact_sorted_prunes(spark, tmp_path):
+    """sort_cols rewrite: range-partitioned files with disjoint sort-key
+    ranges and ascending row-group min/max stats — the layout parquet
+    min/max pruning needs for point probes on a huge seen table."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = SnapshotTable(spark, str(tmp_path / "tbls"))
+    # append shuffled data so the pre-compact layout is unsorted
+    t.overwrite(spark.range(0, 3000).select(
+        (F.xxhash64("id") % 100000).alias("k"), F.col("id")))
+    for i in range(3):
+        t.append(spark.range(3000 + i * 1000, 4000 + i * 1000).select(
+            (F.xxhash64("id") % 100000).alias("k"), F.col("id")))
+    before = _rowset(t.read())
+    t.compact(target_file_mb=1, sort_cols=["k"])
+    assert _rowset(t.read()) == before
+
+    # collect per-file (min, max) of k from parquet footers
+    snap_dir = None
+    for d in sorted(os.listdir(tmp_path / "tbls")):
+        if d.startswith("compact-"):
+            snap_dir = tmp_path / "tbls" / d
+    spans = []
+    for f in sorted(os.listdir(snap_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(str(snap_dir / f)).metadata
+        kidx = md.schema.to_arrow_schema().get_field_index("k")
+        mins = [md.row_group(i).column(kidx).statistics.min
+                for i in range(md.num_row_groups)]
+        maxs = [md.row_group(i).column(kidx).statistics.max
+                for i in range(md.num_row_groups)]
+        # row groups within a file are sorted
+        assert mins == sorted(mins) and maxs == sorted(maxs)
+        spans.append((min(mins), max(maxs)))
+    # files hold disjoint key ranges (range partitioning)
+    spans.sort()
+    assert all(spans[i][1] <= spans[i + 1][0] for i in range(len(spans) - 1))
+
+
+def test_table_ops_model(spark, tmp_path):
+    """Randomized op-sequence model check: SnapshotTable vs a plain
+    dict keyed on id, through append/merge/insert_if_absent/compact/
+    expire interleavings (deterministic seed)."""
+    import random
+
+    rng = random.Random(42)
+    t = SnapshotTable(spark, str(tmp_path / "tblm"))
+    model: dict[int, str] = {}
+
+    def mkdf(pairs):
+        return spark.createDataFrame(pairs, "id long, v string")
+
+    t.overwrite(mkdf([(i, f"v{i}") for i in range(20)]))
+    model = {i: f"v{i}" for i in range(20)}
+
+    for step in range(12):
+        op = rng.choice(["append", "merge", "insert", "compact", "expire"])
+        pairs = [(rng.randrange(40), f"s{step}_{j}") for j in range(5)]
+        if op == "append":
+            # appends may duplicate ids; keep the model multiset simple
+            # by only appending unseen ids
+            fresh = [(k, v) for k, v in pairs if k not in model]
+            seen_ids = set()
+            fresh = [(k, v) for k, v in fresh
+                     if not (k in seen_ids or seen_ids.add(k))]
+            if fresh:
+                t.append(mkdf(fresh))
+                model.update(dict(fresh))
+        elif op == "merge":
+            dedup = {k: v for k, v in pairs}
+            t.merge(mkdf(sorted(dedup.items())), key_cols=["id"])
+            model.update(dedup)
+        elif op == "insert":
+            dedup = {k: v for k, v in pairs}
+            t.insert_if_absent(mkdf(sorted(dedup.items())), key_cols=["id"])
+            for k, v in dedup.items():
+                model.setdefault(k, v)
+        elif op == "compact":
+            t.compact()
+        else:
+            t.expire(keep_last=1)
+        got = {r["id"]: r["v"] for r in t.read().collect()}
+        assert got == model, f"divergence after step {step} ({op})"
+
+
 def test_merge_last_writer_wins(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "tbl2"))
     t.overwrite(spark.createDataFrame([(1, "x", 0)], "id long, v string, ts long"))
