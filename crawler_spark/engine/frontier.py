@@ -298,7 +298,8 @@ class FrontierEngine:
                  bucketed_web_dir: str | None = None,
                  web_buckets: int = 64,
                  bucket_join_min: int = 250_000,
-                 freeze_frontier: bool = True):
+                 freeze_frontier: bool = True,
+                 ingest_images: bool = False):
         self.spark = spark
         self.cfg = cfg
         self.fixture_dir = fixture_dir
@@ -335,6 +336,16 @@ class FrontierEngine:
         os.makedirs(self.ckpt, exist_ok=True)
         self.frontier_table = SnapshotTable(spark, self._paths("frontier"))
         self.crawl_table = SnapshotTable(spark, self._paths("crawl"))
+        # in-loop image ingest (north-star: fetched image bytes are
+        # decoded/validated via Arrow UDFs with phash dedup INSIDE the
+        # micro-batch loop, committed per round with lineage — see
+        # _ingest_images). The byte dim is the sandbox's HTTP stand-in.
+        self.ingest_images = ingest_images
+        if ingest_images:
+            self.images_dim = spark.read.parquet(
+                f"{fixture_dir}/images.parquet").select(
+                "src", "image_id", "bytes", "w", "h", "fmt", "caption")
+            self.images_table = SnapshotTable(spark, self._paths("images"))
         self.timings: dict = {}
         # per-round plan pieces built ONCE: Column trees and slim
         # projections are immutable, and rebuilding them every round
@@ -973,6 +984,10 @@ class FrontierEngine:
             else:  # round fetched pages but admitted no links
                 edges = self.spark.createDataFrame([], self._crawl_schema)
             tick("fetch_extract")
+            img_metrics = {}
+            if self.ingest_images:
+                img_metrics = self._ingest_images(rnd)
+                tick("images")
 
             # candidate admission for the NEXT frontier (BFS depth
             # cap). Parent depth rides along on the edge rows, so no
@@ -1094,6 +1109,7 @@ class FrontierEngine:
                            partitions=[[i, int(n)] for i, n in
                                        enumerate(part_counts.values())],
                            steps=steps,
+                           **img_metrics,
                            **getattr(self, "_round_freeze", {}))
             with open(os.path.join(self.ckpt, "metrics.jsonl"), "a") as f:
                 f.write(json.dumps(metrics) + "\n")
@@ -1785,6 +1801,133 @@ class FrontierEngine:
                         .otherwise(F.lit("HTTP 404 Not Found"))
                         .alias("error_message"),
                         F.lit(0).alias("retry_attempts")))
+
+    _IMG_INGEST_SCHEMA = types.StructType([
+        types.StructField("image_id", types.StringType()),
+        types.StructField("src", types.StringType()),
+        types.StructField("bytes", types.BinaryType()),
+        types.StructField("w", types.IntegerType()),
+        types.StructField("h", types.IntegerType()),
+        types.StructField("fmt", types.StringType()),
+        types.StructField("caption", types.StringType()),
+        types.StructField("phash", types.LongType()),
+        types.StructField("valid", types.BooleanType())])
+
+    def _ingest_images(self, rnd: int) -> dict:
+        """In-loop image ingest for round ``rnd`` (north-star core:
+        "fetched image bytes are decoded/validated via vectorized
+        pandas/Arrow UDFs with phash dedup" inside the micro-batch
+        loop). Per round:
+
+          1. distinct canonical image srcs on the round's fetched
+             pages (SO2 in-page distinct + in-round distinct),
+          2. src-seen anti-join against every PRIOR round's ingested
+             set — strictly prior, so a replayed round never
+             anti-joins against its own half-committed output and is
+             byte-identical on resume (first-write-wins across
+             rounds, the reference's image-already-downloaded skip),
+          3. byte fetch — a join against the images dim here (the
+             sandbox stand-in, same pattern as the page fetch); a real
+             cluster swaps in an HTTP mapInPandas over the src batch,
+             O(new srcs), no dim scan,
+          4. decode + validate + phash via ONE Arrow-batched
+             mapInPandas pass (real PNG/lossy-container decode,
+             core/imaging.py; valid = decodes AND matches the
+             declared w x h; phash RE-COMPUTED from the fetched
+             bytes, never trusted from metadata),
+          5. committed as a fast-append snapshot partitioned by
+             `valid`, so the per-round decode/dedup metrics (new,
+             invalid — the north star's "fetch/dedup metrics") come
+             straight from parquet footers, no counting job.
+
+        Scale: one anti-join shuffle keyed by src + one narrow Arrow
+        pass per round; the ingested-src history read is
+        manifest-driven and column-pruned to `src`."""
+        import pandas as pd
+
+        pdir = os.path.join(self._paths("crawl", rnd), "kind=page")
+        if not os.path.isdir(pdir):
+            return {"images_new": 0, "images_invalid": 0}
+        pages = self.spark.read.schema(self._crawl_schema).parquet(pdir)
+        refs = (pages.filter(F.col("title").isNotNull()
+                             & (F.col("status_code") != 0))
+                .select(F.explode("images").alias("im"))
+                .select(canonicalize_url(F.col("im.src")).alias("src"))
+                .filter(F.col("src") != "")
+                .distinct())
+        prior = [m for m in (self.images_table.lineage()[-1]["members"]
+                             if self.images_table.exists() else [])
+                 if m < f"round={rnd:05d}"]
+        if prior:
+            seen = (self.spark.read.schema("src string")
+                    .option("basePath", self._paths("images"))
+                    .parquet(*[os.path.join(self._paths("images"), m)
+                               for m in prior])
+                    .select("src"))
+            refs = refs.join(seen, "src", "left_anti")
+        fetched = refs.join(self.images_dim, "src")
+
+        def dec(it):
+            from ..core.imaging import decode_image, phash64
+            for pdf in it:
+                ph, ok = [], []
+                for b, fmt, w, h in zip(pdf["bytes"], pdf["fmt"],
+                                        pdf["w"], pdf["h"]):
+                    try:
+                        px = decode_image(bytes(b), fmt)
+                        valid = px.shape[:2] == (int(h), int(w))
+                        ph.append(phash64(px) if valid else 0)
+                    except Exception:
+                        valid = False
+                        ph.append(0)
+                    ok.append(valid)
+                yield pd.DataFrame({
+                    "image_id": pdf["image_id"], "src": pdf["src"],
+                    "bytes": pdf["bytes"], "w": pdf["w"], "h": pdf["h"],
+                    "fmt": pdf["fmt"], "caption": pdf["caption"],
+                    "phash": pd.Series(ph, dtype="int64"),
+                    "valid": pd.Series(ok, dtype="bool")})
+
+        out = fetched.mapInPandas(dec, self._IMG_INGEST_SCHEMA)
+        (out.write.mode("overwrite").partitionBy("valid")
+         .parquet(self._paths("images", rnd)))
+        counts = self._footer_rows(self._paths("images", rnd))
+        self.images_table.commit_dir(f"round={rnd:05d}", "round", counts,
+                                     extra={"round": rnd})
+        return {"images_new": sum(counts.values()),
+                "images_invalid": sum(v for k, v in counts.items()
+                                      if k.startswith("valid=false"))}
+
+    def images(self, visits: DataFrame) -> DataFrame:
+        """The FINAL image+caption table — the reference's downloaded
+        set. Explore ingests speculatively (a page can be fetched by
+        BFS yet end up DFS-claimed at a deeper rank whose children are
+        depth-rejected, so the in-loop ingest is a superset exactly
+        like the fetched-page set); this narrows it to srcs referenced
+        by VISITED pages, the same claims-join narrowing pages get.
+        One semi-join against the resolved visit set."""
+        refs = self.image_refs(visits).select("src").distinct()
+        ing = self.images_table.read(with_partition_columns=True,
+                                     schema=self._IMG_INGEST_SCHEMA)
+        return ing.join(refs, "src", "left_semi")
+
+    def image_captions(self, visits: DataFrame) -> DataFrame:
+        """Caption ATTRIBUTION in reference order: each ingested image
+        keeps the alt text of the FIRST page (by DFS visit rank) that
+        referenced it — deterministic and independent of which explore
+        round happened to fetch the bytes. One min_by aggregate keyed
+        by src."""
+        refs = self.image_refs(visits)
+        ranked = refs.join(
+            visits.select(F.col("url").alias("page_url"), "visit_rank"),
+            "page_url")
+        return (ranked.groupBy("src")
+                .agg(F.min_by(F.struct("caption", "page_url"),
+                              F.col("visit_rank")).alias("c"),
+                     F.min("visit_rank").alias("first_visit_rank"))
+                .select("src", F.col("c.caption").alias("caption"),
+                        F.col("c.page_url").alias("page_url"),
+                        "first_visit_rank"))
 
     def image_refs(self, visits: DataFrame) -> DataFrame:
         """(page_url, src, caption) for visited, extracted pages —

@@ -49,6 +49,12 @@ def main() -> None:
     ap.add_argument("--screenshots", action="store_true",
                     help="commit the S6 per-page screenshot table "
                          "(idempotent, first-write-wins on image_id)")
+    ap.add_argument("--ingest-images", action="store_true",
+                    help="decode/validate/phash image bytes inside the "
+                         "explore loop (per-round snapshot commits + "
+                         "fetch/dedup metrics); emits the final "
+                         "claims-narrowed images/ + image_captions/ "
+                         "tables under --out")
     ap.add_argument("--compact", action="store_true",
                     help="post-crawl table maintenance: compact the "
                          "per-round fast-append crawl/frontier tables "
@@ -81,7 +87,8 @@ def main() -> None:
     eng = FrontierEngine(spark, cfg, args.web, args.ckpt,
                          enforce_politeness=args.politeness,
                          use_bloom=args.bloom,
-                         use_cuckoo=args.cuckoo)
+                         use_cuckoo=args.cuckoo,
+                         ingest_images=args.ingest_images)
     t0 = time.time()
     visits = eng.run()
     visits.write.mode("overwrite").parquet(os.path.join(args.out, "visits"))
@@ -92,13 +99,21 @@ def main() -> None:
         os.path.join(args.out, "image_refs"))
     if args.screenshots:
         eng.write_screenshots(visits)
+    if args.ingest_images:
+        eng.images(visits).write.mode("overwrite").parquet(
+            os.path.join(args.out, "images"))
+        eng.image_captions(visits).write.mode("overwrite").parquet(
+            os.path.join(args.out, "image_captions"))
     maintenance = {}
     if args.compact:
         # a depth-8 crawl fast-appended ~9 round dirs × 32 task files
         # per table; at 10^10 URLs that census is what every later
         # scan pays — rewrite once, then drop the superseded snapshots
-        for name, tbl in (("crawl", eng.crawl_table),
-                          ("frontier", eng.frontier_table)):
+        tables = [("crawl", eng.crawl_table),
+                  ("frontier", eng.frontier_table)]
+        if args.ingest_images:
+            tables.append(("images", eng.images_table))
+        for name, tbl in tables:
             stats = tbl.compact()
             tbl.expire(keep_last=1)
             maintenance[name] = stats

@@ -403,3 +403,175 @@ def test_freeze_store_write_once_and_resume(spark, tmp_path):
     with open(os.path.join(ck, "metrics.jsonl")) as f:
         ms = [json.loads(line) for line in f]
     assert sum(m.get("frozen", 0) for m in ms) == n_rows
+
+
+def test_inloop_image_ingest_matches_oracle(spark, tmp_path):
+    """In-loop image ingest (north-star core loop: fetched image bytes
+    decoded/validated via Arrow UDFs with dedup INSIDE the micro-batch
+    rounds, frontier.py:_ingest_images). Interrupts after 2 rounds and
+    resumes in a fresh engine (the src-seen anti-join must only see
+    strictly-prior rounds). Checks, against the sequential oracle and
+    the byte dim: exact src-set parity, write-once across rounds,
+    byte-for-byte + decoded-pixel equality, phash recomputed from the
+    fetched bytes equals the dim's, validation all-green, per-round
+    ingest metrics, and first-DFS-visit caption attribution."""
+    import json
+
+    from crawler_spark.core.imaging import decode_image, phash64, psnr
+
+    cfg = CrawlConfig(max_depth=3)
+    ck = fresh_ckpt(str(tmp_path / "ingest"))
+    eng1 = FrontierEngine(spark, cfg, FIXDIR, ck, ingest_images=True)
+    eng1.explore(max_rounds=2)
+    eng = FrontierEngine(spark, cfg, FIXDIR, ck, ingest_images=True)
+    visits = eng.run()
+    o = run_oracle(FIXDIR, cfg)
+
+    ingested = (eng.images_table.read(with_partition_columns=True)
+                .select("src").collect())
+    exp_srcs = {im["src"] for im in o.images}
+    # explore ingests speculatively: a superset (a page can be fetched
+    # by BFS yet DFS-claimed at a depth whose children are rejected),
+    # written once per src across rounds
+    assert {r["src"] for r in ingested} >= exp_srcs
+    assert len(ingested) == len({r["src"] for r in ingested})
+
+    # the FINAL table (claims-join narrowing) is the reference's
+    # downloaded set exactly
+    got = eng.images(visits).collect()
+    assert {r["src"] for r in got} == exp_srcs
+    assert len(got) == len(exp_srcs)
+
+    dim = {r["src"]: r for r in
+           spark.read.parquet(f"{FIXDIR}/images.parquet").collect()}
+    for r in got:
+        d = dim[r["src"]]
+        assert r["valid"]
+        assert bytes(r["bytes"]) == bytes(d["bytes"])
+        # recomputed phash: exact for png; the dim's phash was taken
+        # PRE-encode, so lossy formats may flip a few low-confidence
+        # bits after the encode/decode round trip (PSNR >= 40 dB)
+        ham = bin((r["phash"] ^ d["phash"]) & ((1 << 64) - 1)).count("1")
+        assert ham == 0 if r["fmt"] == "png" else ham <= 6, \
+            (r["src"], r["fmt"], ham)
+        px = decode_image(bytes(r["bytes"]), r["fmt"])
+        gold = decode_image(bytes(d["bytes"]), d["fmt"])
+        assert psnr(px, gold) == float("inf")
+        assert phash64(px) == r["phash"]
+
+    # per-round fetch/dedup metrics from footers
+    with open(os.path.join(ck, "metrics.jsonl")) as f:
+        ms = [json.loads(line) for line in f]
+    assert sum(m.get("images_new", 0) for m in ms) == len(ingested)
+    assert sum(m.get("images_invalid", 0) for m in ms) == 0
+
+    # caption attribution: first page in DFS order wins per src
+    caps = {r["src"]: (r["caption"], r["first_visit_rank"])
+            for r in eng.image_captions(visits).collect()}
+    rank_of = {v.url: v.rank for v in o.visits}
+    first = {}
+    for im in o.images:            # appended in DFS visit order
+        if im["src"] not in first:
+            first[im["src"]] = (im["caption"], rank_of[im["page_url"]])
+    assert caps == first
+
+
+def test_image_ingest_flags_corrupt_bytes(spark, tmp_path):
+    """Validation path of the in-loop ingest: undecodable bytes and
+    metadata/pixel dimension mismatches land in the valid=false
+    partition (counted per round from footers as images_invalid),
+    never poison the valid set, and never crash the Arrow decode
+    batch."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_spark.core.imaging import phash64, png_encode, render_image
+
+    fix = str(tmp_path / "corrupt-fixture")
+    os.makedirs(fix, exist_ok=True)
+
+    def img(src, alt):
+        return dict(src=src, alt=alt)
+
+    pages = [dict(
+        url="http://a.test/root", host="a.test", status_code=200,
+        title="root", meta_description="", text_content="", headings=[],
+        links=[],
+        images=[img("http://a.test/ok.png", "fine"),
+                img("http://a.test/broken.png", "garbage bytes"),
+                img("http://a.test/wrongdims.png", "lying metadata")],
+        forms=[], load_time_ms=10)]
+    link_t = pa.list_(pa.struct([
+        ("href", pa.string()), ("label", pa.string()),
+        ("selector", pa.string()), ("element_type", pa.string()),
+        ("pos_x", pa.int32()), ("pos_y", pa.int32()),
+        ("link_index", pa.int32())]))
+    img_t = pa.list_(pa.struct([("src", pa.string()),
+                                ("alt", pa.string())]))
+    form_t = pa.list_(pa.struct([
+        ("action", pa.string()), ("method", pa.string()),
+        ("fields", pa.list_(pa.string()))]))
+    cols = {k: [p[k] for p in pages] for k in pages[0]}
+    pq.write_table(pa.table({
+        "url": cols["url"], "host": cols["host"],
+        "status_code": pa.array(cols["status_code"], pa.int32()),
+        "title": cols["title"],
+        "meta_description": cols["meta_description"],
+        "text_content": cols["text_content"],
+        "headings": pa.array(cols["headings"], pa.list_(pa.string())),
+        "links": pa.array(cols["links"], link_t),
+        "images": pa.array(cols["images"], img_t),
+        "forms": pa.array(cols["forms"], form_t),
+        "load_time_ms": pa.array(cols["load_time_ms"], pa.int32()),
+    }), os.path.join(fix, "web_pages.parquet"))
+    pq.write_table(pa.table({
+        "host": ["a.test"],
+        "disallow_prefixes": pa.array([[]], pa.list_(pa.string())),
+        "crawl_delay_ms": pa.array([0], pa.int64()),
+    }), os.path.join(fix, "robots.parquet"))
+    pq.write_table(pa.table({
+        "url": ["http://a.test/root"],
+        "seed_rank": pa.array([0], pa.int32()),
+    }), os.path.join(fix, "seeds.parquet"))
+
+    ok_px = render_image("ok", 20, 12)
+    pq.write_table(pa.table({
+        "src": ["http://a.test/ok.png", "http://a.test/broken.png",
+                "http://a.test/wrongdims.png"],
+        "image_id": ["id-ok", "id-broken", "id-wrongdims"],
+        "bytes": pa.array([png_encode(ok_px), b"not a png at all",
+                           png_encode(render_image("small", 4, 4))],
+                          pa.binary()),
+        "w": pa.array([20, 20, 20], pa.int32()),
+        "h": pa.array([12, 12, 12], pa.int32()),
+        "fmt": ["png", "png", "png"],
+        "caption": ["fine", "garbage bytes", "lying metadata"],
+        "phash": pa.array([phash64(ok_px), 0, 0], pa.int64()),
+    }), os.path.join(fix, "images.parquet"))
+
+    cfg = CrawlConfig(max_depth=1)
+    ck = fresh_ckpt(str(tmp_path / "corrupt-ck"))
+    eng = FrontierEngine(spark, cfg, fix, ck, ingest_images=True)
+    visits = eng.run()
+
+    # typed read: `valid` is a hive partition dir, so an inference
+    # read would surface it as string — the engine's schema types it
+    rows = {r["image_id"]: r for r in
+            eng.images_table.read(with_partition_columns=True,
+                                  schema=eng._IMG_INGEST_SCHEMA).collect()}
+    assert rows["id-ok"]["valid"] is True
+    assert rows["id-ok"]["phash"] == phash64(ok_px)
+    assert rows["id-broken"]["valid"] is False
+    assert rows["id-wrongdims"]["valid"] is False
+
+    with open(os.path.join(ck, "metrics.jsonl")) as f:
+        ms = [json.loads(line) for line in f]
+    assert sum(m.get("images_new", 0) for m in ms) == 3
+    assert sum(m.get("images_invalid", 0) for m in ms) == 2
+    # the final (claims-narrowed) table still carries the invalid rows
+    # tagged, so downstream can quarantine rather than silently drop
+    assert {r["image_id"]: r["valid"] for r in
+            eng.images(visits).collect()} == {
+        "id-ok": True, "id-broken": False, "id-wrongdims": False}
