@@ -61,9 +61,18 @@ def ensure_bench_web(pages: int | None = None,
     pages = pages or BENCH_PAGES
     seeds = seeds or BENCH_SEEDS
     marker = os.path.join(web_dir, "web_pages.parquet")
-    if not os.path.exists(marker):
+    # images.parquet doubles as a generator-version marker: webs cached
+    # by the pre-image generator lack it, and their pages carry no
+    # image refs — regenerate (and drop the bucketed cache, whose page
+    # rows embed the old empty images column)
+    if (not os.path.exists(marker)
+            or not os.path.exists(os.path.join(web_dir, "images.parquet"))):
+        import shutil
+
         from crawler_spark.sources.synth_web import generate_bench_web
 
+        shutil.rmtree(web_dir.rstrip("/") + "-bucketed64",
+                      ignore_errors=True)
         print(f"# generating bench web ({pages} pages)…", file=sys.stderr)
         print(f"# {generate_bench_web(web_dir, pages, n_seeds=seeds)}",
               file=sys.stderr)
@@ -73,7 +82,8 @@ def ensure_bench_web(pages: int | None = None,
 def run_frontier_bench(spark, max_depth: int = 8,
                        pages: int | None = None,
                        seeds: int | None = None,
-                       also_sharded: bool = False) -> dict:
+                       also_sharded: bool = False,
+                       ingest_images: bool = False) -> dict:
     """The engine's own metric: URLs scheduled+fetched per second on
     the synthetic frontier. Reported in two parts:
       * explore — the distributed schedule+fetch+extract+admit loop
@@ -111,7 +121,8 @@ def run_frontier_bench(spark, max_depth: int = 8,
     eng = FrontierEngine(spark, cfg, web, ck,
                          enforce_politeness=True,
                          bucketed_web_dir=web.rstrip("/") + "-bucketed64",
-                         web_buckets=64)
+                         web_buckets=64,
+                         ingest_images=ingest_images)
     eng.explore()
     t_explore = time.time() - t0
     t1 = time.time()
@@ -125,6 +136,14 @@ def run_frontier_bench(spark, max_depth: int = 8,
            "explore_urls_per_sec": round(n / t_explore, 1),
            "resolve_sec": round(t_resolve, 2),
            "resolve_steps": dict(getattr(eng, "timings", {}))}
+    if ingest_images:
+        with open(os.path.join(ck, "metrics.jsonl")) as f:
+            ms = [json.loads(line) for line in f]
+        new = sum(m.get("images_new", 0) for m in ms)
+        out["images_new"] = new
+        out["images_invalid"] = sum(m.get("images_invalid", 0)
+                                    for m in ms)
+        out["images_per_sec"] = round(new / t_explore, 1)
     if also_sharded:
         # evidence the out-of-core exact path under timing too: the
         # seed-branch-sharded sweep must reproduce the same visit set
@@ -193,7 +212,14 @@ def main() -> None:
 
     frontier = {}
     if os.environ.get("SPARK_GRAFT_SKIP_FRONTIER", "") != "1":
-        frontier = run_frontier_bench(spark)
+        # image ingest ON by default: the in-loop decode/dedup/commit
+        # path is a first-class part of the engine's per-round work
+        # (disable with SPARK_GRAFT_INGEST_IMAGES=0 to time the pure
+        # link frontier)
+        frontier = run_frontier_bench(
+            spark,
+            ingest_images=os.environ.get(
+                "SPARK_GRAFT_INGEST_IMAGES", "1") == "1")
         print(f"# frontier: {frontier}", file=sys.stderr)
 
     out = {

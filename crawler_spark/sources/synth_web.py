@@ -16,7 +16,12 @@ Graph shape mirrors the scale hazards the north rule names:
   * ~85% same-host links (politeness pressure), rest uniform,
   * a slice of hrefs carry fragments / SHOUTING hosts so the
     canonicalization path does real work,
-  * 1% timeouts + 1% dead links for the error path.
+  * 1% timeouts + 1% dead links for the error path,
+  * per-page image refs (0-3, 20% drawn from a hot head of ~1% of
+    the pool — the shared-logo shape that makes src-seen dedup real
+    work) against an image+caption byte dim (`images.parquet`) whose
+    payloads are real encoded PNG / lossy-container bytes, so the
+    in-loop ingest bench decodes genuinely.
 """
 
 from __future__ import annotations
@@ -46,9 +51,12 @@ def _lane(j: np.ndarray, salt: int) -> np.ndarray:
 
 def generate_bench_web(out_dir: str, n_pages: int = 1_000_000,
                        n_hosts: int = 1000, mega_pct: int = 30,
-                       seed: int = 42, n_seeds: int = 64) -> dict:
+                       seed: int = 42, n_seeds: int = 64,
+                       n_images: int | None = None) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     j = np.arange(n_pages, dtype=np.int64)
+    if n_images is None:
+        n_images = max(256, n_pages // 8)
 
     # hosts: host 0 is the mega-host
     h_pick = _lane(j, seed + 1)
@@ -94,6 +102,27 @@ def generate_bench_web(out_dir: str, n_pages: int = 1_000_000,
     load_ms = (50 + (_lane(j, seed + 8) % _U64(1950))).astype(np.int32)
     img_t = pa.list_(pa.struct([("src", pa.string()), ("alt", pa.string())]))
 
+    # ---- image refs (flattened like links) ----
+    # 0-3 refs per page; 20% of refs hit a hot head of ~1% of the pool
+    # (the shared-logo shape: the src-seen anti-join must kill real
+    # duplicates, not a uniform trickle). 10% of refs carry a fragment
+    # so the ingest's canonicalization collapses distinct ref strings
+    # onto one dim src.
+    n_refs = (_lane(j, seed + 9) % _U64(4)).astype(np.int64)
+    ioffsets = np.zeros(n_pages + 1, dtype=np.int64)
+    np.cumsum(n_refs, out=ioffsets[1:])
+    total_refs = int(ioffsets[-1])
+    ref_page = np.repeat(j, n_refs)
+    ref_idx = (np.arange(total_refs, dtype=np.int64)
+               - np.repeat(ioffsets[:-1], n_refs))
+    rh = splitmix64(ref_page.astype(_U64) * _U64(0x100000001B3)
+                    ^ ref_idx.astype(_U64) ^ _U64(seed + 11))
+    head_size = max(1, n_images // 100)
+    src_id = np.where((rh % _U64(5)) == 0,
+                      splitmix64(rh ^ _U64(0x1111)) % _U64(head_size),
+                      splitmix64(rh ^ _U64(0x2222)) % _U64(n_images)
+                      ).astype(np.int64)
+
     # MULTIPLE files: a single parquet file caps Spark's scan
     # parallelism at file-size/maxPartitionBytes tasks (measured: a
     # 148 MB single-file 2M-page web ran the fetch stage 2-wide and
@@ -131,6 +160,21 @@ def generate_bench_web(out_dir: str, n_pages: int = 1_000_000,
             names=["href", "element_type", "link_index"])
         links = pa.ListArray.from_arrays(
             pa.array(offsets[p0:p1 + 1] - offsets[p0]), link_struct)
+        i0, i1 = int(ioffsets[p0]), int(ioffsets[p1])
+        sid_c = src_id[i0:i1]
+        rh_c = rh[i0:i1]
+        src = pc.binary_join_element_wise(
+            "http://h", pc.cast(pa.array(sid_c % n_hosts), pa.string()),
+            ".bench.org/img", pc.cast(pa.array(sid_c), pa.string()), "")
+        src = pc.if_else(pa.array((rh_c % _U64(10)) == 3),
+                         pc.binary_join_element_wise(src, "#logo", ""),
+                         src)
+        alt = pc.binary_join_element_wise(
+            "alt ", pc.cast(pa.array(sid_c), pa.string()), "")
+        img_struct = pa.StructArray.from_arrays([src, alt],
+                                                names=["src", "alt"])
+        images = pa.ListArray.from_arrays(
+            pa.array(ioffsets[p0:p1 + 1] - ioffsets[p0]), img_struct)
         web = pa.table({
             "url": url.slice(p0, p1 - p0),
             "host": host_str.slice(p0, p1 - p0),
@@ -138,7 +182,7 @@ def generate_bench_web(out_dir: str, n_pages: int = 1_000_000,
             "title": pc.binary_join_element_wise(
                 "Page ", pc.cast(pa.array(j[p0:p1]), pa.string()), ""),
             "links": links,
-            "images": pa.array([[]] * (p1 - p0), img_t),
+            "images": images.cast(img_t),
             "load_time_ms": pa.array(load_ms[p0:p1]),
         })
         pq.write_table(web, os.path.join(web_dir, f"part-{f:05d}.parquet"),
@@ -167,5 +211,57 @@ def generate_bench_web(out_dir: str, n_pages: int = 1_000_000,
         "crawl_delay_ms": pa.array([0] * n_hosts, pa.int64()),
     })
     pq.write_table(robots, os.path.join(out_dir, "robots.parquet"))
+
+    # ---- image+caption byte dim (the ingest's HTTP stand-in) ----
+    # Real encoded bytes, but drawn from a bounded PAYLOAD pool: the
+    # same logo/banner bytes get served from many URLs on a real web,
+    # and decode cost in the ingest is per-src-row regardless, so a
+    # few thousand distinct pixel patterns keep generation O(pool)
+    # while every dim row still decodes genuinely.
+    from ..core.imaging import fake_lossy_encode, phash64, render_image
+
+    n_payloads = int(min(4096, n_images))
+    pay_bytes, pay_w, pay_h, pay_fmt, pay_ph = [], [], [], [], []
+    for p in range(n_payloads):
+        w, h = 16 + p % 17, 12 + p % 13
+        px = render_image(f"bench-{p}", w, h)
+        fmt = ("png", "jpeg", "webp")[0 if p % 10 < 8 else 1 + p % 2]
+        if fmt == "png":
+            from ..core.imaging import png_encode
+            data = png_encode(px)
+        else:
+            data = fake_lossy_encode(px, fmt)
+        pay_bytes.append(data)
+        pay_w.append(w)
+        pay_h.append(h)
+        pay_fmt.append(fmt)
+        pay_ph.append(phash64(px))  # pre-encode, like the fixture dim
+    img_dir = os.path.join(out_dir, "images.parquet")
+    os.makedirs(img_dir, exist_ok=True)
+    ids = np.arange(n_images, dtype=np.int64)
+    pay_of = (splitmix64(ids.astype(_U64) ^ _U64(seed + 13))
+              % _U64(n_payloads)).astype(np.int64)
+    dim_rows_per_file = 131_072
+    for f in range((n_images + dim_rows_per_file - 1) // dim_rows_per_file):
+        a = f * dim_rows_per_file
+        b = min(a + dim_rows_per_file, n_images)
+        ic, pc_of = ids[a:b], pay_of[a:b]
+        pq.write_table(pa.table({
+            "src": pc.binary_join_element_wise(
+                "http://h", pc.cast(pa.array(ic % n_hosts), pa.string()),
+                ".bench.org/img", pc.cast(pa.array(ic), pa.string()), ""),
+            "image_id": pc.binary_join_element_wise(
+                "im", pc.cast(pa.array(ic), pa.string()), ""),
+            "bytes": pa.array([pay_bytes[k] for k in pc_of], pa.binary()),
+            "w": pa.array([pay_w[k] for k in pc_of], pa.int32()),
+            "h": pa.array([pay_h[k] for k in pc_of], pa.int32()),
+            "fmt": pa.array([pay_fmt[k] for k in pc_of], pa.string()),
+            "caption": pc.binary_join_element_wise(
+                "caption ", pc.cast(pa.array(ic), pa.string()), ""),
+            "phash": pa.array([pay_ph[k] for k in pc_of], pa.int64()),
+        }), os.path.join(img_dir, f"part-{f:05d}.parquet"),
+            row_group_size=32768)
+
     return {"pages": n_pages, "links": total, "hosts": n_hosts,
-            "seeds": len(seed_pages)}
+            "seeds": len(seed_pages), "image_refs": total_refs,
+            "images": n_images}
