@@ -37,8 +37,10 @@ ensure_bench_web()
 # constant identical at both core counts and would otherwise dilute
 # the measured scaling of the actual distributed work. Standard
 # steady-state benchmarking; both children prewarm identically.
-run_frontier_bench(spark, max_depth=6, pages=50_000, seeds=1024)
-res = run_frontier_bench(spark, max_depth={depth}, also_sharded={sharded})
+run_frontier_bench(spark, max_depth=6, pages=50_000, seeds=1024,
+                   ingest_images={ingest})
+res = run_frontier_bench(spark, max_depth={depth}, also_sharded={sharded},
+                         ingest_images={ingest})
 print("RESULT " + json.dumps(res))
 """
 
@@ -89,9 +91,9 @@ def run_calibration(small: int, large: int) -> dict:
 
 
 def run_one(cores: int, depth: int, pages: int,
-            sharded: bool = True) -> dict:
+            sharded: bool = True, ingest: bool = False) -> dict:
     code = CHILD.format(repo=REPO, cores=cores, depth=depth,
-                        sharded=sharded)
+                        sharded=sharded, ingest=ingest)
     env = dict(os.environ, SPARK_GRAFT_BENCH_PAGES=str(pages))
     p = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, cwd=REPO, check=False, env=env)
@@ -114,6 +116,11 @@ def main() -> None:
                     "each child (--no-sharded skips it; the sharded "
                     "pass is timed alongside and never enters the "
                     "end-to-end efficiency numbers)")
+    ap.add_argument("--ingest-images", action="store_true",
+                    help="run the pair with in-loop image ingest ON "
+                    "(decode/dedup/commit inside every round) and "
+                    "report the ingest throughput at both levels — "
+                    "the image-axis scaling evidence")
     ap.add_argument("--repeat", type=int, default=1,
                     help="runs per level; keep the best (min wall) — "
                     "the sandbox has bursty noisy-neighbor steal, and "
@@ -152,9 +159,11 @@ print("PREWARMED")
 
     calibration = run_calibration(args.small, args.large)
 
-    small_runs = [run_one(args.small, args.depth, args.pages, args.sharded)
+    small_runs = [run_one(args.small, args.depth, args.pages, args.sharded,
+                          args.ingest_images)
                   for _ in range(args.repeat)]
-    large_runs = [run_one(args.large, args.depth, args.pages, args.sharded)
+    large_runs = [run_one(args.large, args.depth, args.pages, args.sharded,
+                          args.ingest_images)
                   for _ in range(args.repeat)]
     small = min(small_runs, key=lambda r: r["sec"])
     large = min(large_runs, key=lambda r: r["sec"])
@@ -176,6 +185,7 @@ print("PREWARMED")
         "explore_speedup": round(large["explore_urls_per_sec"]
                                  / small["explore_urls_per_sec"], 3),
         "explore_scaling_efficiency": round(eff_explore, 3),
+        "ingest_images": args.ingest_images,
         "hardware_calibration": calibration,
         "note": ("min-of-N headline (noisy-neighbor sandbox), median "
                  "alongside; politeness scheduler ON; children prewarm "
