@@ -198,25 +198,22 @@ def phash64(pixels: np.ndarray) -> int:
     xs = (np.arange(33) * w // 32).clip(1, w)
     ys[0] = 0
     xs[0] = 0
-    small = np.empty((32, 32))
     csum = np.zeros((h + 1, w + 1))
     csum[1:, 1:] = gray.cumsum(0).cumsum(1)
-    for yi in range(32):
-        y0, y1 = ys[yi], max(ys[yi + 1], ys[yi] + 1)
-        for xi in range(32):
-            x0, x1 = xs[xi], max(xs[xi + 1], xs[xi] + 1)
-            area = (y1 - y0) * (x1 - x0)
-            small[yi, xi] = (
-                csum[y1, x1] - csum[y0, x1] - csum[y1, x0] + csum[y0, x0]
-            ) / area
+    # vectorized box sums: same integer bounds and the same float
+    # expression as the scalar double loop, element for element, so
+    # the hash stays bit-identical to the fixture-precomputed values
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    small = (csum[np.ix_(y1, x1)] - csum[np.ix_(y0, x1)]
+             - csum[np.ix_(y1, x0)] + csum[np.ix_(y0, x0)]) / area
     d = _DCT32 @ small @ _DCT32.T
     block = d[:8, :8].flatten()
     med = np.median(block[1:])
-    bits = np.where(block > med, 1, 0)
+    bits = (block > med).astype(np.uint8)
     bits[0] = 0  # drop DC term
-    val = 0
-    for b in bits:
-        val = (val << 1) | int(b)
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
@@ -232,16 +229,16 @@ def avgpool_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     h, w, c = px.shape
     ys = (np.arange(out_h + 1) * h // out_h).clip(0, h)
     xs = (np.arange(out_w + 1) * w // out_w).clip(0, w)
-    out = np.empty((out_h, out_w, c), np.float64)
     csum = np.zeros((h + 1, w + 1, c))
     csum[1:, 1:] = px.astype(np.float64).cumsum(0).cumsum(1)
-    for yi in range(out_h):
-        y0, y1 = ys[yi], max(ys[yi + 1], ys[yi] + 1)
-        for xi in range(out_w):
-            x0, x1 = xs[xi], max(xs[xi + 1], xs[xi] + 1)
-            area = (y1 - y0) * (x1 - x0)
-            out[yi, xi] = (csum[y1, x1] - csum[y0, x1]
-                           - csum[y1, x0] + csum[y0, x0]) / area
+    # vectorized box sums — identical bounds and float expression as
+    # the scalar double loop, so outputs (and the fixture-precomputed
+    # luma oracle column) are bit-identical
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+    area = ((y1 - y0)[:, None] * (x1 - x0)[None, :])[:, :, None]
+    out = (csum[np.ix_(y1, x1)] - csum[np.ix_(y0, x1)]
+           - csum[np.ix_(y1, x0)] + csum[np.ix_(y0, x0)]) / area
     return out.clip(0, 255).astype(np.uint8)
 
 
