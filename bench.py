@@ -144,6 +144,14 @@ def run_frontier_bench(spark, max_depth: int = 8,
         out["images_invalid"] = sum(m.get("images_invalid", 0)
                                     for m in ms)
         out["images_per_sec"] = round(new / t_explore, 1)
+        # the image path's own wall time (per-round `images` step =
+        # src distinct + seen anti-join + byte fetch + Arrow
+        # decode/validate/phash + snapshot commit) — the direct
+        # image-axis rate, not diluted by the link-frontier work
+        t_ing = sum(m.get("steps", {}).get("images", 0.0) for m in ms)
+        if t_ing > 0:
+            out["ingest_sec"] = round(t_ing, 2)
+            out["ingest_images_per_sec"] = round(new / t_ing, 1)
     if also_sharded:
         # evidence the out-of-core exact path under timing too: the
         # seed-branch-sharded sweep must reproduce the same visit set
