@@ -299,7 +299,8 @@ class FrontierEngine:
                  web_buckets: int = 64,
                  bucket_join_min: int = 250_000,
                  freeze_frontier: bool = True,
-                 ingest_images: bool = False):
+                 ingest_images: bool = False,
+                 ingest_bloom: bool = False):
         self.spark = spark
         self.cfg = cfg
         self.fixture_dir = fixture_dir
@@ -341,6 +342,7 @@ class FrontierEngine:
         # micro-batch loop, committed per round with lineage — see
         # _ingest_images). The byte dim is the sandbox's HTTP stand-in.
         self.ingest_images = ingest_images
+        self.ingest_bloom = ingest_bloom
         if ingest_images:
             self.images_dim = spark.read.parquet(
                 f"{fixture_dir}/images.parquet").select(
@@ -1864,7 +1866,25 @@ class FrontierEngine:
                     .parquet(*[os.path.join(self._paths("images"), m)
                                for m in prior])
                     .select("src"))
-            refs = refs.join(seen, "src", "left_anti")
+            if self.ingest_bloom:
+                # the J1 treatment at 10^9+ ingested srcs: a
+                # partitioned bloom over xxhash64(src) kills the
+                # vast majority of already-seen refs before the
+                # shuffle; bloom-positive srcs still take the exact
+                # STRING anti-join, so the output is identical to the
+                # plain path (pinned by the golden identity test) —
+                # correctness never depends on the filter
+                from ..operators.bloom import (build_bloom,
+                                               seen_anti_join_with_bloom)
+                seen_h = seen.withColumn("h", F.xxhash64("src"))
+                bloom = build_bloom(seen_h, "h")
+                refs = (seen_anti_join_with_bloom(
+                            refs.withColumn("h", F.xxhash64("src")),
+                            seen_h, bloom, hash_col="h",
+                            confirm_col="src")
+                        .drop("h"))
+            else:
+                refs = refs.join(seen, "src", "left_anti")
         fetched = refs.join(self.images_dim, "src")
 
         def dec(it):

@@ -55,6 +55,11 @@ def main() -> None:
                          "fetch/dedup metrics); emits the final "
                          "claims-narrowed images/ + image_captions/ "
                          "tables under --out")
+    ap.add_argument("--ingest-bloom", action="store_true",
+                    help="pre-filter the per-round image src-seen "
+                         "anti-join with the partitioned bloom "
+                         "(operators/bloom.py) — identical output, "
+                         "cheaper at 10^9+ ingested srcs")
     ap.add_argument("--compact", action="store_true",
                     help="post-crawl table maintenance: compact the "
                          "per-round fast-append crawl/frontier tables "
@@ -88,7 +93,8 @@ def main() -> None:
                          enforce_politeness=args.politeness,
                          use_bloom=args.bloom,
                          use_cuckoo=args.cuckoo,
-                         ingest_images=args.ingest_images)
+                         ingest_images=args.ingest_images,
+                         ingest_bloom=args.ingest_bloom)
     t0 = time.time()
     visits = eng.run()
     visits.write.mode("overwrite").parquet(os.path.join(args.out, "visits"))

@@ -476,6 +476,31 @@ def test_inloop_image_ingest_matches_oracle(spark, tmp_path):
     assert caps == first
 
 
+def test_image_ingest_bloom_identity(spark, tmp_path):
+    """The bloom-prefiltered src-seen path (ingest_bloom=True —
+    partitioned bloom over xxhash64(src), bloom-positive srcs
+    confirmed by the exact string anti-join) must produce an images
+    table IDENTICAL to the plain anti-join, row for row including
+    per-round membership: correctness never depends on the filter
+    (no false negatives; false positives only route srcs through the
+    exact check)."""
+    cfg = CrawlConfig(max_depth=3)
+    outs = []
+    for flag in (False, True):
+        ck = fresh_ckpt(str(tmp_path / f"bloom_{flag}"))
+        eng = FrontierEngine(spark, cfg, FIXDIR, ck,
+                             ingest_images=True, ingest_bloom=flag)
+        eng.run()
+        rows = (eng.images_table.read(with_partition_columns=True)
+                .selectExpr("src", "round", "phash", "valid",
+                            "xxhash64(bytes) as bh")
+                .collect())
+        outs.append(sorted((r["src"], r["round"], r["phash"],
+                            r["valid"], r["bh"]) for r in rows))
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 0
+
+
 def test_image_ingest_flags_corrupt_bytes(spark, tmp_path):
     """Validation path of the in-loop ingest: undecodable bytes and
     metadata/pixel dimension mismatches land in the valid=false
