@@ -37,7 +37,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def engine_visits(pages: int, seeds: int, depth: int, cores: int):
+def engine_visits(pages: int, seeds: int, depth: int, cores: int,
+                  ingest: bool = False):
     from bench import ensure_bench_web
     from crawler_spark.engine.config import CrawlConfig
     from crawler_spark.engine.frontier import FrontierEngine, fresh_ckpt
@@ -54,13 +55,48 @@ def engine_visits(pages: int, seeds: int, depth: int, cores: int):
                          fresh_ckpt(os.path.join(ck_base, "ckpt_simcheck")),
                          enforce_politeness=True,
                          bucketed_web_dir=web.rstrip("/") + "-bucketed64",
-                         web_buckets=64)
-    rows = eng.run().orderBy("visit_rank").collect()
+                         web_buckets=64,
+                         ingest_images=ingest)
+    visits = eng.run()
+    rows = visits.orderBy("visit_rank").collect()
     got = [(r["visit_rank"], r["url"], r["url_hash"], r["host"], r["depth"],
             r["parent_url"], r["link_index"], r["prio"], r["status_code"],
             r["batch_id"]) for r in rows]
+    img_stats, caps = None, None
+    if ingest:
+        # image-axis parity at bench scale: the claims-narrowed final
+        # images table vs the byte dim (bytes verbatim, validation
+        # green, phash recomputed from fetched bytes — exact for png,
+        # bounded Hamming drift for the lossy round trip), plus the
+        # first-DFS-visitor caption attribution, all compared against
+        # the sequential simulator's download set below
+        from pyspark.sql import functions as F
+        imgs = eng.images(visits)
+        dim = (spark.read.parquet(f"{web}/images.parquet")
+               .select("src", F.col("phash").alias("dim_phash"),
+                       F.xxhash64("bytes").alias("dim_bh")))
+        j = (imgs.withColumn("bh", F.xxhash64("bytes"))
+             .join(dim, "src", "left")
+             .select("src", "valid", "fmt",
+                     (F.col("bh") == F.col("dim_bh")).alias("beq"),
+                     F.bit_count(F.col("phash").bitwiseXOR(
+                         F.col("dim_phash"))).alias("ham")))
+        agg = j.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("valid"), 0).otherwise(1)).alias("n_invalid"),
+            F.sum(F.when(F.col("beq"), 0).otherwise(1)).alias("n_bytes_neq"),
+            F.max(F.when(F.col("fmt") == "png", F.col("ham"))
+                  .otherwise(0)).alias("png_ham_max"),
+            F.max(F.when(F.col("fmt") != "png", F.col("ham"))
+                  .otherwise(0)).alias("lossy_ham_max")).collect()[0]
+        img_stats = {k: int(agg[k]) for k in
+                     ("n", "n_invalid", "n_bytes_neq",
+                      "png_ham_max", "lossy_ham_max")}
+        caps = {r["src"]: (r["caption"], r["page_url"],
+                           r["first_visit_rank"])
+                for r in eng.image_captions(visits).collect()}
     spark.stop()
-    return web, got
+    return web, got, img_stats, caps
 
 
 def oracle_visits(web: str, pages: int, depth: int):
@@ -71,9 +107,16 @@ def oracle_visits(web: str, pages: int, depth: int):
                       rate_limit=max(50_000, pages // 20),
                       batch_window_ms=1000)
     res = run_oracle(web, cfg)
-    return [(v.rank, v.url, v.url_hash, v.host, v.depth, v.parent_url,
-             v.link_index, v.prio, v.status_code, v.batch_id)
-            for v in res.visits]
+    visits = [(v.rank, v.url, v.url_hash, v.host, v.depth, v.parent_url,
+               v.link_index, v.prio, v.status_code, v.batch_id)
+              for v in res.visits]
+    rank_of = {v.url: v.rank for v in res.visits}
+    caps = {}
+    for im in res.images:          # appended in DFS visit order
+        if im["src"] not in caps:
+            caps[im["src"]] = (im["caption"], im["page_url"],
+                               rank_of[im["page_url"]])
+    return visits, caps
 
 
 def main() -> None:
@@ -82,15 +125,22 @@ def main() -> None:
     ap.add_argument("--seeds", type=int, default=1024)
     ap.add_argument("--depth", type=int, default=8)
     ap.add_argument("--cores", type=int, default=16)
+    ap.add_argument("--ingest-images", action="store_true",
+                    help="also run the in-loop image ingest and check "
+                         "the final images + caption-attribution "
+                         "tables against the simulator's download set "
+                         "and the byte dim")
     args = ap.parse_args()
 
     t0 = time.time()
-    web, got = engine_visits(args.pages, args.seeds, args.depth, args.cores)
+    web, got, img_stats, eng_caps = engine_visits(
+        args.pages, args.seeds, args.depth, args.cores,
+        args.ingest_images)
     t_eng = time.time() - t0
     print(f"# engine: {len(got)} visits in {t_eng:.1f}s", file=sys.stderr)
 
     t1 = time.time()
-    exp = oracle_visits(web, args.pages, args.depth)
+    exp, orc_caps = oracle_visits(web, args.pages, args.depth)
     t_orc = time.time() - t1
     print(f"# oracle: {len(exp)} visits in {t_orc:.1f}s", file=sys.stderr)
 
@@ -101,13 +151,38 @@ def main() -> None:
                               "oracle": list(map(str, e))}
             break
     rows_equal = first_mismatch is None and len(got) == len(exp)
-    print(json.dumps({
+    out = {
         "pages": args.pages, "engine_visits": len(got),
         "oracle_visits": len(exp), "rows_equal": rows_equal,
         "first_mismatch": first_mismatch,
         "engine_sec": round(t_eng, 1), "oracle_sec": round(t_orc, 1),
-    }))
-    sys.exit(0 if rows_equal else 1)
+    }
+    ok = rows_equal
+    if args.ingest_images:
+        # set parity on srcs AND identical (caption, page, first-rank)
+        # attribution; bytes verbatim vs the dim; validation green;
+        # phash exact for png, bounded drift for the lossy round trip
+        images_ok = (
+            set(eng_caps) == set(orc_caps)
+            and eng_caps == orc_caps
+            and img_stats["n"] == len(orc_caps)
+            and img_stats["n_invalid"] == 0
+            and img_stats["n_bytes_neq"] == 0
+            and img_stats["png_ham_max"] == 0
+            # lossy drift is informational: bytes are verbatim vs the
+            # dim (n_bytes_neq == 0 above), so the decoded pixels ARE
+            # the dim's decode (PSNR = inf); the dim's own pre-encode
+            # vs post-encode PSNR >= 40 dB is pinned by
+            # tests/test_images.py. The recomputed phash may flip
+            # low-confidence DCT-sign bits on tiny bench images —
+            # bounded, not exact.
+            and img_stats["lossy_ham_max"] <= 16)
+        out["images"] = dict(img_stats, oracle_srcs=len(orc_caps),
+                             captions_equal=eng_caps == orc_caps,
+                             images_equal=images_ok)
+        ok = ok and images_ok
+    print(json.dumps(out))
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":
