@@ -122,7 +122,10 @@ def run_frontier_bench(spark, max_depth: int = 8,
                          enforce_politeness=True,
                          bucketed_web_dir=web.rstrip("/") + "-bucketed64",
                          web_buckets=64,
-                         ingest_images=ingest_images)
+                         ingest_images=ingest_images,
+                         bucketed_images_dir=(
+                             web.rstrip("/") + "-imgbucketed64"
+                             if ingest_images else None))
     eng.explore()
     t_explore = time.time() - t0
     t1 = time.time()

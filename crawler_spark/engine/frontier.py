@@ -300,7 +300,8 @@ class FrontierEngine:
                  bucket_join_min: int = 250_000,
                  freeze_frontier: bool = True,
                  ingest_images: bool = False,
-                 ingest_bloom: bool = False):
+                 ingest_bloom: bool = False,
+                 bucketed_images_dir: str | None = None):
         self.spark = spark
         self.cfg = cfg
         self.fixture_dir = fixture_dir
@@ -347,6 +348,17 @@ class FrontierEngine:
             self.images_dim = spark.read.parquet(
                 f"{fixture_dir}/images.parquet").select(
                 "src", "image_id", "bytes", "w", "h", "fmt", "caption")
+            # big-round byte fetches join against a src-bucketed copy
+            # of the dim (the Iceberg bucket(N, src) analog) so ONLY
+            # the refs side shuffles — the plain join either
+            # sort-merge-shuffles the multi-GB byte dim every round or
+            # pays a serial driver-side broadcast build of multi-
+            # million-src ref sets (same failure modes the fetch join
+            # solved; see _ensure_bucketed_web)
+            self._images_dim_bucketed = (
+                self._ensure_bucketed_dim(bucketed_images_dir,
+                                          web_buckets)
+                if bucketed_images_dir else None)
             self.images_table = SnapshotTable(spark, self._paths("images"))
         self.timings: dict = {}
         # per-round plan pieces built ONCE: Column trees and slim
@@ -441,6 +453,30 @@ class FrontierEngine:
             self.spark.sql(
                 f"CREATE TABLE {name} ({ddl}) USING PARQUET "
                 f"CLUSTERED BY (url) SORTED BY (url) "
+                f"INTO {buckets} BUCKETS LOCATION '{path}'")
+        return self.spark.table(name)
+
+    def _ensure_bucketed_dim(self, path: str, buckets: int) -> DataFrame:
+        """Bucket+sort the images byte dim by src ONCE (same pattern
+        and rationale as _ensure_bucketed_web; shared cache dir,
+        path-keyed catalog name)."""
+        import hashlib
+
+        digest = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:12]
+        name = f"imgdim_bucketed_{digest}"
+        if self.spark.catalog.tableExists(name):
+            return self.spark.table(name)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            (self.images_dim.repartition(buckets, F.col("src"))
+             .write.mode("overwrite")
+             .bucketBy(buckets, "src").sortBy("src")
+             .option("path", path)
+             .saveAsTable(name))
+        else:  # data from a previous session: register it
+            ddl = self.images_dim.schema.toDDL()
+            self.spark.sql(
+                f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY (src) SORTED BY (src) "
                 f"INTO {buckets} BUCKETS LOCATION '{path}'")
         return self.spark.table(name)
 
@@ -988,7 +1024,7 @@ class FrontierEngine:
             tick("fetch_extract")
             img_metrics = {}
             if self.ingest_images:
-                img_metrics = self._ingest_images(rnd)
+                img_metrics = self._ingest_images(rnd, n_batch)
                 tick("images")
 
             # candidate admission for the NEXT frontier (BFS depth
@@ -1815,7 +1851,7 @@ class FrontierEngine:
         types.StructField("phash", types.LongType()),
         types.StructField("valid", types.BooleanType())])
 
-    def _ingest_images(self, rnd: int) -> dict:
+    def _ingest_images(self, rnd: int, n_batch: int = 0) -> dict:
         """In-loop image ingest for round ``rnd`` (north-star core:
         "fetched image bytes are decoded/validated via vectorized
         pandas/Arrow UDFs with phash dedup" inside the micro-batch
@@ -1885,7 +1921,18 @@ class FrontierEngine:
                         .drop("h"))
             else:
                 refs = refs.join(seen, "src", "left_anti")
-        fetched = refs.join(self.images_dim, "src")
+        # byte fetch — join strategy by round size, mirroring the page
+        # fetch: big rounds merge-join the src-bucketed dim (only the
+        # refs side shuffles; no serial driver broadcast build of a
+        # multi-million-src set, no re-shuffle of the multi-GB byte
+        # dim); small + tail rounds broadcast the refs over the plain
+        # dim scan (one compiled plan shape reused every such round)
+        if (self._images_dim_bucketed is not None
+                and n_batch > self.bucket_join_min):
+            fetched = self._images_dim_bucketed.hint("merge").join(
+                refs, "src")
+        else:
+            fetched = self.images_dim.join(F.broadcast(refs), "src")
 
         def dec(it):
             from ..core.imaging import decode_image, phash64

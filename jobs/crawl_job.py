@@ -55,6 +55,10 @@ def main() -> None:
                          "fetch/dedup metrics); emits the final "
                          "claims-narrowed images/ + image_captions/ "
                          "tables under --out")
+    ap.add_argument("--bucketed-images-dir", default=None,
+                    help="src-bucketed cache of the images byte dim "
+                         "(built once; big rounds then merge-join it "
+                         "so only the refs side shuffles)")
     ap.add_argument("--ingest-bloom", action="store_true",
                     help="pre-filter the per-round image src-seen "
                          "anti-join with the partitioned bloom "
@@ -94,7 +98,8 @@ def main() -> None:
                          use_bloom=args.bloom,
                          use_cuckoo=args.cuckoo,
                          ingest_images=args.ingest_images,
-                         ingest_bloom=args.ingest_bloom)
+                         ingest_bloom=args.ingest_bloom,
+                         bucketed_images_dir=args.bucketed_images_dir)
     t0 = time.time()
     visits = eng.run()
     visits.write.mode("overwrite").parquet(os.path.join(args.out, "visits"))
