@@ -359,6 +359,7 @@ class FrontierEngine:
                 self._ensure_bucketed_dim(bucketed_images_dir,
                                           web_buckets)
                 if bucketed_images_dir else None)
+            self._img_buckets = web_buckets
             self.images_table = SnapshotTable(spark, self._paths("images"))
         self.timings: dict = {}
         # per-round plan pieces built ONCE: Column trees and slim
@@ -1927,8 +1928,10 @@ class FrontierEngine:
         # multi-million-src set, no re-shuffle of the multi-GB byte
         # dim); small + tail rounds broadcast the refs over the plain
         # dim scan (one compiled plan shape reused every such round)
-        if (self._images_dim_bucketed is not None
-                and n_batch > self.bucket_join_min):
+        npart = max(self.spark.sparkContext.defaultParallelism, 4)
+        merge_path = (self._images_dim_bucketed is not None
+                      and n_batch > self.bucket_join_min)
+        if merge_path:
             fetched = self._images_dim_bucketed.hint("merge").join(
                 refs, "src")
         else:
@@ -1955,16 +1958,24 @@ class FrontierEngine:
                     "phash": pd.Series(ph, dtype="int64"),
                     "valid": pd.Series(ok, dtype="bool")})
 
-        # fan the decode out explicitly: the refs side is small enough
-        # that AQE broadcast-joins it, so the join output inherits the
-        # dim SCAN's split count (a handful of tasks) — without this
-        # repartition the Arrow decode stage ran on 2-3 cores at any
-        # core count (measured 1.4k img/s at local[32] vs the decoder's
-        # ~4.9k img/s/core). One narrow shuffle of only the NEW srcs'
-        # bytes, then every core decodes.
-        npart = max(self.spark.sparkContext.defaultParallelism, 4)
-        out = (fetched.repartition(npart)
-               .mapInPandas(dec, self._IMG_INGEST_SCHEMA))
+        # decode fan-out. Broadcast path (small/tail rounds): the join
+        # output inherits the dim SCAN's split count (a handful of
+        # tasks) — without an explicit repartition the Arrow decode
+        # stage ran on 2-3 cores at any core count (measured 1.4k
+        # img/s at local[32] vs the decoder's ~4.9k img/s/core); the
+        # shuffle moves only the NEW srcs' bytes and those rounds are
+        # small. Merge path (big rounds): the bucketed join output is
+        # ALREADY hash-partitioned by src into `web_buckets`
+        # partitions — repartitioning it re-shuffled every fetched
+        # byte of the round's multi-GB image payload a second time
+        # for zero balance gain (src is hash-bucketed, so the buckets
+        # are even); decode straight on the join output whenever the
+        # bucket fan-out covers the cores.
+        if merge_path and self._img_buckets >= npart:
+            out = fetched.mapInPandas(dec, self._IMG_INGEST_SCHEMA)
+        else:
+            out = (fetched.repartition(npart)
+                   .mapInPandas(dec, self._IMG_INGEST_SCHEMA))
         (out.write.mode("overwrite").partitionBy("valid")
          .parquet(self._paths("images", rnd)))
         counts = self._footer_rows(self._paths("images", rnd))
