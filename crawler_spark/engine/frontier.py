@@ -301,7 +301,9 @@ class FrontierEngine:
                  freeze_frontier: bool = True,
                  ingest_images: bool = False,
                  ingest_bloom: bool = False,
-                 bucketed_images_dir: str | None = None):
+                 bucketed_images_dir: str | None = None,
+                 bucketed_seen: bool = False,
+                 seen_buckets: int = 64):
         self.spark = spark
         self.cfg = cfg
         self.fixture_dir = fixture_dir
@@ -338,6 +340,26 @@ class FrontierEngine:
         os.makedirs(self.ckpt, exist_ok=True)
         self.frontier_table = SnapshotTable(spark, self._paths("frontier"))
         self.crawl_table = SnapshotTable(spark, self._paths("crawl"))
+        # bucketed seen-store (Iceberg bucket(N, url) analog over the
+        # admission history): the J1 anti-join and the politeness
+        # depth-correcting admit both key on the FULL frontier history
+        # every round — as a plain parquet union that history crosses
+        # a shuffle per round (at 10^10 URLs: the whole seen set
+        # through an all-to-all exchange, every round — THE scale
+        # killer of the naive design). Mirroring it into a catalog
+        # table PARTITIONED BY round and CLUSTERED BY url makes the
+        # history side of both joins exchange-free (scan reports
+        # hash-partitioning; only the round's candidates shuffle) and
+        # scans stay column-pruned + partition-pruned. Each partition
+        # is a slim (url, depth) copy of one committed frontier round,
+        # written right after that round's snapshot commit and
+        # rebuilt idempotently on resume (INSERT OVERWRITE per
+        # partition; _seen_store_heal), so the store is a derived
+        # index — the frontier SnapshotTable stays the only source of
+        # truth and exactness never depends on the store surviving.
+        self._seen_buckets = seen_buckets
+        self._seen_name = (self._ensure_seen_store(seen_buckets)
+                           if bucketed_seen else None)
         # in-loop image ingest (north-star: fetched image bytes are
         # decoded/validated via Arrow UDFs with phash dedup INSIDE the
         # micro-batch loop, committed per round with lineage — see
@@ -480,6 +502,82 @@ class FrontierEngine:
                 f"CLUSTERED BY (src) SORTED BY (src) "
                 f"INTO {buckets} BUCKETS LOCATION '{path}'")
         return self.spark.table(name)
+
+    def _ensure_seen_store(self, buckets: int) -> str:
+        """Create (or re-register on resume) the bucketed seen-store
+        catalog table — see the constructor comment for why. Path-keyed
+        name for the same reason as _ensure_bucketed_web."""
+        import hashlib
+
+        path = self._paths("seen_bucketed")
+        digest = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:12]
+        name = f"seen_bkt_{digest}"
+        # always re-register: fresh_ckpt reuses paths, so a catalog
+        # entry from an earlier engine on this path may be stale
+        # (wiped or rewritten location). DROP on an external (LOCATION)
+        # table never touches the data files.
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        resuming = os.path.isdir(path)
+        self.spark.sql(
+            f"CREATE TABLE {name} (url STRING, depth INT, rnd INT) "
+            f"USING PARQUET PARTITIONED BY (rnd) "
+            f"CLUSTERED BY (url) INTO {buckets} BUCKETS "
+            f"LOCATION '{path}'")
+        if resuming:  # pick up partitions written by a prior session
+            self.spark.sql(f"ALTER TABLE {name} RECOVER PARTITIONS")
+        return name
+
+    def _seen_store_write(self, rnd: int) -> None:
+        """Mirror committed frontier round ``rnd`` into seen-store
+        partition ``rnd`` (slim url+depth, bucket-shuffled once —
+        O(round), not O(history)). INSERT OVERWRITE makes replays
+        idempotent; called only AFTER the round's snapshot commit, so
+        a crash between commit and mirror is healed by
+        _seen_store_heal on the next resume."""
+        if self._seen_name is None:
+            return
+        rdir = self._paths("frontier", rnd)
+        sel_dirs = [os.path.join(rdir, d) for d in ("sel=b", "sel=d",
+                                                    "sel=f")
+                    if os.path.isdir(os.path.join(rdir, d))]
+        if not sel_dirs:
+            return
+        rows = (self.spark.read.schema(self._frontier_schema)
+                .parquet(*sel_dirs)
+                .select("url", "depth")
+                .repartition(self._seen_buckets, F.col("url")))
+        view = f"{self._seen_name}_delta"
+        rows.createOrReplaceTempView(view)
+        self.spark.sql(
+            f"INSERT OVERWRITE TABLE {self._seen_name} "
+            f"PARTITION (rnd={rnd}) SELECT url, depth FROM {view}")
+
+    def _seen_store_heal(self, completed_rounds: int) -> None:
+        """Resume self-heal: rebuild any seen-store partition missing
+        for a committed frontier round (crash window between a round's
+        snapshot commit and its mirror write)."""
+        if self._seen_name is None:
+            return
+        have = {int(r["partition"].split("=")[1]) for r in
+                self.spark.sql(
+                    f"SHOW PARTITIONS {self._seen_name}").collect()}
+        for r in range(completed_rounds + 1):
+            if r not in have:
+                self._seen_store_write(r)
+
+    def _seen_history(self, rnd: int):
+        """The admission history for round ``rnd`` (frontier rounds
+        0..rnd) as a DataFrame of (url, depth): the bucketed store
+        when enabled (history side of every admit join is then
+        exchange-free), else the plain frontier-table read."""
+        if self._seen_name is not None:
+            # the <= filter excludes a half-written partition rnd+1
+            # left by a crashed prior attempt at the current round
+            return (self.spark.table(self._seen_name)
+                    .filter(F.col("rnd") <= rnd)
+                    .select("url", "depth"))
+        return (self.frontier_table.read(schema=self._frontier_schema)
+                .select("url", "depth"))
 
     # ---- seeds ----
 
@@ -925,6 +1023,9 @@ class FrontierEngine:
                 self.seed_claims()
                 .withColumn("host", url_host(F.col("url")))
                 .select("url", "depth", "host"), 0)
+            self._seen_store_write(0)
+        else:
+            self._seen_store_heal(rnd)
         while rnd < max_rounds:
             t_round = time.time()
             steps: dict[str, float] = {}
@@ -1048,14 +1149,16 @@ class FrontierEngine:
             # deferred anti-join. Reading from checkpoint also
             # truncates lineage across rounds.
             cand = cand.select("url", "depth", "host")
-            # one manifest-driven read of the committed frontier
-            # history per round, shared by every variant below, with
-            # an explicit schema (skips per-dir footer inference that
-            # grows O(rounds) — an incremental union-DF cache was
-            # tried and LOST: a 16-deep union of single-dir scans
-            # re-analyzes slower than one multi-dir scan lists)
-            frontier_hist = self.frontier_table.read(
-                schema=self._frontier_schema)
+            # one read of the committed admission history per round,
+            # shared by every variant below: the bucketed seen-store
+            # when enabled (history side of the joins below is then
+            # exchange-free — see _ensure_seen_store), else a
+            # manifest-driven frontier read with an explicit schema
+            # (skips per-dir footer inference that grows O(rounds) —
+            # an incremental union-DF cache was tried and LOST: a
+            # 16-deep union of single-dir scans re-analyzes slower
+            # than one multi-dir scan lists)
+            frontier_hist = self._seen_history(rnd)
             all_seen = frontier_hist.select("url")
             if self.enforce_politeness:
                 # Depth-correcting admit. Under politeness a URL can be
@@ -1131,6 +1234,9 @@ class FrontierEngine:
                                     F.first("host").alias("host")))
             self._write_frontier(new_frontier, rnd + 1)
             tick("admit")
+            if self._seen_name is not None:
+                self._seen_store_write(rnd + 1)
+                tick("seen_mirror")
             # per-round metrics + per-partition lineage straight from
             # the parquet footers (no Spark job; one footer per
             # written partition, counts sum to the edge total)

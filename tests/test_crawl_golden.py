@@ -202,6 +202,50 @@ def test_bloom_prefilter_identical_seen_set(spark, tmp_path):
     assert got == exp
 
 
+def test_bucketed_seen_store_identity(spark, tmp_path):
+    """The bucketed seen-store (frontier.py:_ensure_seen_store — the
+    Iceberg bucket(N, url) analog that makes the history side of the
+    per-round admission joins exchange-free) must not change a single
+    output row. Politeness ON so the depth-correcting seen_best path
+    (the groupBy over history) is exercised too."""
+    cfg = CrawlConfig(max_depth=3, rate_limit=6)
+    eng = FrontierEngine(spark, cfg, FIXDIR,
+                         fresh_ckpt(str(tmp_path / "bseen")),
+                         enforce_politeness=True,
+                         bucketed_seen=True, seen_buckets=8)
+    visits = eng.run()
+    got = [_visit_tuple_engine(r)
+           for r in visits.orderBy("visit_rank").collect()]
+    exp = [_visit_tuple_oracle(v) for v in run_oracle(FIXDIR, cfg).visits]
+    assert got == exp
+
+
+def test_bucketed_seen_store_resume_heals(spark, tmp_path):
+    """Resume with the seen store: kill after 2 rounds, DELETE the
+    store dir entirely (worst-case crash window — rounds committed but
+    no mirror), resume in a fresh engine → _seen_store_heal rebuilds
+    every partition from the frontier snapshots and the crawl output
+    is still row-for-row exact."""
+    import shutil
+
+    cfg = CrawlConfig(max_depth=3)
+    ck = fresh_ckpt(str(tmp_path / "bseen-resume"))
+    eng1 = FrontierEngine(spark, cfg, FIXDIR, ck,
+                          bucketed_seen=True, seen_buckets=8)
+    eng1.explore(max_rounds=2)
+    assert not eng1._state()["done"]
+    shutil.rmtree(os.path.join(ck, "seen_bucketed"))
+    spark.sql(f"DROP TABLE IF EXISTS {eng1._seen_name}")
+
+    eng2 = FrontierEngine(spark, cfg, FIXDIR, ck,
+                          bucketed_seen=True, seen_buckets=8)
+    visits = eng2.run()
+    got = [_visit_tuple_engine(r)
+           for r in visits.orderBy("visit_rank").collect()]
+    exp = [_visit_tuple_oracle(v) for v in run_oracle(FIXDIR, cfg).visits]
+    assert got == exp
+
+
 def test_cuckoo_prefilter_identical_seen_set(spark, tmp_path):
     """Same invariant for the deletion-capable cuckoo variant
     (operators/cuckoo.py), politeness ON so the depth-correcting
