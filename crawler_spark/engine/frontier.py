@@ -383,6 +383,14 @@ class FrontierEngine:
                 if bucketed_images_dir else None)
             self._img_buckets = web_buckets
             self.images_table = SnapshotTable(spark, self._paths("images"))
+            # same bucketed-log treatment for the ingested-src history
+            # (the per-round src-seen anti-join otherwise shuffles
+            # every previously ingested src, every round — 10^9+ srcs
+            # at target scale)
+            self._imgseen_name = (self._ensure_imgseen_store(seen_buckets)
+                                  if bucketed_seen else None)
+        else:
+            self._imgseen_name = None
         self.timings: dict = {}
         # per-round plan pieces built ONCE: Column trees and slim
         # projections are immutable, and rebuilding them every round
@@ -578,6 +586,71 @@ class FrontierEngine:
                     .select("url", "depth"))
         return (self.frontier_table.read(schema=self._frontier_schema)
                 .select("url", "depth"))
+
+    # ---- ingested-src seen store (image-ingest twin of the above) ----
+
+    def _ensure_imgseen_store(self, buckets: int) -> str:
+        """Bucketed catalog table over the ingested-src history — the
+        image-ingest twin of _ensure_seen_store: one slim (src) copy
+        of each committed images round, PARTITIONED BY round and
+        CLUSTERED BY src, so the history side of the per-round
+        src-seen anti-join (_ingest_images step 2) is exchange-free —
+        only the round's new refs shuffle, never the 10^9+ previously
+        ingested srcs. Derived index: the images SnapshotTable stays
+        the source of truth and _imgseen_store_heal rebuilds any
+        missing partition on resume, so exactness never depends on
+        the store surviving."""
+        import hashlib
+
+        path = self._paths("imgseen_bucketed")
+        digest = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:12]
+        name = f"imgseen_bkt_{digest}"
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        resuming = os.path.isdir(path)
+        self.spark.sql(
+            f"CREATE TABLE {name} (src STRING, rnd INT) "
+            f"USING PARQUET PARTITIONED BY (rnd) "
+            f"CLUSTERED BY (src) INTO {buckets} BUCKETS "
+            f"LOCATION '{path}'")
+        if resuming:
+            self.spark.sql(f"ALTER TABLE {name} RECOVER PARTITIONS")
+        return name
+
+    def _imgseen_store_write(self, rnd: int) -> None:
+        """Mirror committed images round ``rnd`` into store partition
+        ``rnd`` (src only, bucket-shuffled once — O(round's new srcs),
+        not O(history)). INSERT OVERWRITE keeps replays idempotent;
+        called only AFTER the round's images snapshot commit, so a
+        crash between commit and mirror is healed on resume."""
+        if self._imgseen_name is None:
+            return
+        rdir = self._paths("images", rnd)
+        if not os.path.isdir(rdir):
+            return
+        rows = (self.spark.read.schema("src string")
+                .option("basePath", self._paths("images"))
+                .parquet(rdir)
+                .select("src")
+                .repartition(self._seen_buckets, F.col("src")))
+        view = f"{self._imgseen_name}_delta"
+        rows.createOrReplaceTempView(view)
+        self.spark.sql(
+            f"INSERT OVERWRITE TABLE {self._imgseen_name} "
+            f"PARTITION (rnd={rnd}) SELECT src FROM {view}")
+
+    def _imgseen_store_heal(self) -> None:
+        """Resume self-heal: rebuild any store partition missing for
+        a committed images round (crash window between a round's
+        images commit and its mirror write — or a wiped store dir)."""
+        if self._imgseen_name is None or not self.images_table.exists():
+            return
+        have = {int(r["partition"].split("=")[1]) for r in
+                self.spark.sql(
+                    f"SHOW PARTITIONS {self._imgseen_name}").collect()}
+        for m in self.images_table.lineage()[-1]["members"]:
+            r = int(m.split("=")[1])
+            if r not in have:
+                self._imgseen_store_write(r)
 
     # ---- seeds ----
 
@@ -1026,6 +1099,7 @@ class FrontierEngine:
             self._seen_store_write(0)
         else:
             self._seen_store_heal(rnd)
+            self._imgseen_store_heal()
         while rnd < max_rounds:
             t_round = time.time()
             steps: dict[str, float] = {}
@@ -2004,11 +2078,21 @@ class FrontierEngine:
                              if self.images_table.exists() else [])
                  if m < f"round={rnd:05d}"]
         if prior:
-            seen = (self.spark.read.schema("src string")
-                    .option("basePath", self._paths("images"))
-                    .parquet(*[os.path.join(self._paths("images"), m)
-                               for m in prior])
-                    .select("src"))
+            if self._imgseen_name is not None:
+                # bucketed store: the scan reports hash-partitioning
+                # on src, so the anti-join below shuffles ONLY the
+                # refs side (O(round)); the strict < excludes a
+                # half-written partition from a crashed prior attempt
+                # at this round
+                seen = (self.spark.table(self._imgseen_name)
+                        .filter(F.col("rnd") < rnd)
+                        .select("src"))
+            else:
+                seen = (self.spark.read.schema("src string")
+                        .option("basePath", self._paths("images"))
+                        .parquet(*[os.path.join(self._paths("images"), m)
+                                   for m in prior])
+                        .select("src"))
             if self.ingest_bloom:
                 # the J1 treatment at 10^9+ ingested srcs: a
                 # partitioned bloom over xxhash64(src) kills the
@@ -2087,6 +2171,7 @@ class FrontierEngine:
         counts = self._footer_rows(self._paths("images", rnd))
         self.images_table.commit_dir(f"round={rnd:05d}", "round", counts,
                                      extra={"round": rnd})
+        self._imgseen_store_write(rnd)
         return {"images_new": sum(counts.values()),
                 "images_invalid": sum(v for k, v in counts.items()
                                       if k.startswith("valid=false"))}

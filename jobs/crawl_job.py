@@ -64,6 +64,13 @@ def main() -> None:
                          "anti-join with the partitioned bloom "
                          "(operators/bloom.py) — identical output, "
                          "cheaper at 10^9+ ingested srcs")
+    ap.add_argument("--bucketed-seen", action="store_true",
+                    help="mirror the admission history into a "
+                         "round-partitioned, url-bucketed catalog "
+                         "table so the per-round seen joins keep the "
+                         "history side exchange-free (the 10^10-URL "
+                         "posture; identical output)")
+    ap.add_argument("--seen-buckets", type=int, default=64)
     ap.add_argument("--compact", action="store_true",
                     help="post-crawl table maintenance: compact the "
                          "per-round fast-append crawl/frontier tables "
@@ -99,7 +106,9 @@ def main() -> None:
                          use_cuckoo=args.cuckoo,
                          ingest_images=args.ingest_images,
                          ingest_bloom=args.ingest_bloom,
-                         bucketed_images_dir=args.bucketed_images_dir)
+                         bucketed_images_dir=args.bucketed_images_dir,
+                         bucketed_seen=args.bucketed_seen,
+                         seen_buckets=args.seen_buckets)
     t0 = time.time()
     visits = eng.run()
     visits.write.mode("overwrite").parquet(os.path.join(args.out, "visits"))

@@ -569,6 +569,70 @@ def test_image_ingest_bucketed_dim_identity(spark, tmp_path):
     assert len(outs[0]) > 0
 
 
+def test_image_ingest_bucketed_seen_identity(spark, tmp_path):
+    """The bucketed ingested-src store (frontier.py:
+    _ensure_imgseen_store — the bucket(N, src) analog that makes the
+    history side of the per-round src-seen anti-join exchange-free)
+    must produce an images table identical to the plain history read,
+    row for row including per-round membership."""
+    cfg = CrawlConfig(max_depth=3)
+    outs = []
+    for flag in (False, True):
+        ck = fresh_ckpt(str(tmp_path / f"iseen_{flag}"))
+        eng = FrontierEngine(spark, cfg, FIXDIR, ck,
+                             ingest_images=True,
+                             bucketed_seen=flag, seen_buckets=8)
+        eng.run()
+        rows = (eng.images_table.read(with_partition_columns=True)
+                .selectExpr("src", "round", "phash", "valid",
+                            "xxhash64(bytes) as bh")
+                .collect())
+        outs.append(sorted((r["src"], r["round"], r["phash"],
+                            r["valid"], r["bh"]) for r in rows))
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 0
+
+
+def test_imgseen_store_resume_heals(spark, tmp_path):
+    """Resume with the ingested-src store: kill after 2 rounds,
+    DELETE the store dir entirely (worst-case crash window — images
+    rounds committed but no mirror), resume in a fresh engine →
+    _imgseen_store_heal rebuilds every partition from the images
+    snapshots and the ingest history (write-once per src across
+    rounds) stays exact."""
+    import shutil
+
+    cfg = CrawlConfig(max_depth=3)
+    ck = fresh_ckpt(str(tmp_path / "iseen-resume"))
+    eng1 = FrontierEngine(spark, cfg, FIXDIR, ck,
+                          ingest_images=True,
+                          bucketed_seen=True, seen_buckets=8)
+    eng1.explore(max_rounds=2)
+    assert not eng1._state()["done"]
+    shutil.rmtree(os.path.join(ck, "imgseen_bucketed"))
+    spark.sql(f"DROP TABLE IF EXISTS {eng1._imgseen_name}")
+    spark.sql(f"DROP TABLE IF EXISTS {eng1._seen_name}")
+
+    eng2 = FrontierEngine(spark, cfg, FIXDIR, ck,
+                          ingest_images=True,
+                          bucketed_seen=True, seen_buckets=8)
+    eng2.run()
+    # plain reference run: same ingest, no store
+    ck3 = fresh_ckpt(str(tmp_path / "iseen-plain"))
+    eng3 = FrontierEngine(spark, cfg, FIXDIR, ck3, ingest_images=True)
+    eng3.run()
+    outs = []
+    for eng in (eng2, eng3):
+        rows = (eng.images_table.read(with_partition_columns=True)
+                .selectExpr("src", "round", "phash", "valid",
+                            "xxhash64(bytes) as bh")
+                .collect())
+        outs.append(sorted((r["src"], r["round"], r["phash"],
+                            r["valid"], r["bh"]) for r in rows))
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 0
+
+
 def test_image_ingest_flags_corrupt_bytes(spark, tmp_path):
     """Validation path of the in-loop ingest: undecodable bytes and
     metadata/pixel dimension mismatches land in the valid=false
