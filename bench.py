@@ -83,7 +83,8 @@ def run_frontier_bench(spark, max_depth: int = 8,
                        pages: int | None = None,
                        seeds: int | None = None,
                        also_sharded: bool = False,
-                       ingest_images: bool = False) -> dict:
+                       ingest_images: bool = False,
+                       bucketed_seen: bool | None = None) -> dict:
     """The engine's own metric: URLs scheduled+fetched per second on
     the synthetic frontier. Reported in two parts:
       * explore — the distributed schedule+fetch+extract+admit loop
@@ -125,7 +126,22 @@ def run_frontier_bench(spark, max_depth: int = 8,
                          ingest_images=ingest_images,
                          bucketed_images_dir=(
                              web.rstrip("/") + "-imgbucketed64"
-                             if ingest_images else None))
+                             if ingest_images else None),
+                         # bucketed admission/ingest history (the
+                         # 10^10-URL posture): the seen-store mirror
+                         # costs one O(round) bucket write per round
+                         # and keeps the history side of every
+                         # admit/src-seen join exchange-free — a big
+                         # win once the history outgrows the rounds
+                         # (measured: explore 287.8 s → 177.5 s on the
+                         # 16M-page web at local[32], but a ~5% LOSS at
+                         # 300k where the mirror cost exceeds the
+                         # savings) — so auto-on at 1M+ pages, the same
+                         # size-adaptive posture as bucket_join_min
+                         bucketed_seen=(pg >= 1_000_000
+                                        if bucketed_seen is None
+                                        else bucketed_seen),
+                         seen_buckets=64)
     eng.explore()
     t_explore = time.time() - t0
     t1 = time.time()
