@@ -146,15 +146,21 @@ def run_frontier_bench(spark, max_depth: int = 8,
     t_explore = time.time() - t0
     t1 = time.time()
     visits = eng.resolve()
+    t2 = time.time()
     n = visits.count()
     t_resolve = time.time() - t1
     dt = time.time() - t0
+    steps = dict(getattr(eng, "timings", {}))
+    # the final visits assembly job (fetched-status join + host
+    # politeness window) executes at this count — a distributed job,
+    # timed separately so the resolve breakdown has no silent gap
+    steps["visits_job"] = round(time.time() - t2, 2)
     out = {"urls": n, "sec": round(dt, 2),
            "urls_per_sec": round(n / dt, 1),
            "explore_sec": round(t_explore, 2),
            "explore_urls_per_sec": round(n / t_explore, 1),
            "resolve_sec": round(t_resolve, 2),
-           "resolve_steps": dict(getattr(eng, "timings", {}))}
+           "resolve_steps": steps}
     if ingest_images:
         with open(os.path.join(ck, "metrics.jsonl")) as f:
             ms = [json.loads(line) for line in f]

@@ -1556,10 +1556,12 @@ class FrontierEngine:
         self.timings["sweep_impl"] = impl
         claims_path = self._paths("claims")
         shutil.rmtree(claims_path, ignore_errors=True)
+        t0 = time.time()
         self._write_claims(claims_path, out_h, out_depth, out_parent_rank,
                            out_li, rank0=0, part=0,
                            seed_prio_by_h={int(r["h"]): r["prio"].encode()
                                            for r in seed_rows})
+        self.timings["claims_write"] = round(time.time() - t0, 2)
         return self._claims_to_visits(claims_path, seeds)
 
     def _resolve_sharded(self, edges: DataFrame, seeds: DataFrame,
@@ -1752,9 +1754,13 @@ class FrontierEngine:
                 c_id, i_sorted, uniq_p_id, bounds, seed_id,
                 self.cfg.max_depth)
             out_h = node_arr[out_id] if n else np.empty(0, np.int64)
+            t_w = time.time()
             self._write_claims(claims_path, out_h, out_depth, out_pr,
                                out_li, rank0=state.rank - n, part=s,
                                seed_prio_by_h=seed_prio)
+            self.timings["claims_write"] = round(
+                self.timings.get("claims_write", 0.0)
+                + (time.time() - t_w), 2)
             shard_secs.append(round(time.time() - t_s, 2))
         pool.shutdown(wait=False)
         self.timings["dfs_sweep"] = round(time.time() - t0, 2)
