@@ -127,19 +127,19 @@ def run_frontier_bench(spark, max_depth: int = 8,
                          bucketed_images_dir=(
                              web.rstrip("/") + "-imgbucketed64"
                              if ingest_images else None),
-                         # bucketed admission/ingest history (the
-                         # 10^10-URL posture): the seen-store mirror
-                         # costs one O(round) bucket write per round
-                         # and keeps the history side of every
-                         # admit/src-seen join exchange-free — a big
-                         # win once the history outgrows the rounds
-                         # (measured: explore 287.8 s → 177.5 s on the
-                         # 16M-page web at local[32], but a ~5% LOSS at
-                         # 300k where the mirror cost exceeds the
-                         # savings) — so auto-on at 1M+ pages, the same
-                         # size-adaptive posture as bucket_join_min
-                         bucketed_seen=(pg >= 1_000_000
-                                        if bucketed_seen is None
+                         # bucketed admission/ingest history: OFF by
+                         # default after same-epoch A/B at 16M pages /
+                         # local[32] measured the store SLOWER in both
+                         # configs (explore 203 vs 165 s no-ingest,
+                         # 442 vs 300 s with ingest) — the unsplittable
+                         # one-file-per-bucket scan + per-round sort of
+                         # the history loses to a plain exchange at any
+                         # history this sandbox can hold. The mirror's
+                         # exchange-free rationale only bites when the
+                         # history outgrows what a shuffle can move
+                         # (10^9+ URLs); stays an opt-in flag with
+                         # identity goldens, not a bench default.
+                         bucketed_seen=(False if bucketed_seen is None
                                         else bucketed_seen),
                          seen_buckets=64)
     eng.explore()

@@ -173,6 +173,42 @@ int64_t csr_bounds(int64_t n, const int32_t *p,
     }
     return m;
 }
+
+/* Emit the priority-vector hex strings for a claims batch in ONE
+   forward pass: prio(claim) = prio(parent) ++ hex4(link_index).
+   Rows arrive in visit order and a claim's parent is always an
+   earlier row of the SAME batch (DFS parents lie on the path from
+   the call's seeds), so the parent's bytes are complete before its
+   children copy them — and recently-claimed parents are cache-warm.
+   Seed rows (parent_rank < 0) take their 4-byte prio from seed_prio
+   via seed_ord[row]. offsets[n+1] = cumsum of 4*(depth+1); data is
+   caller-allocated at offsets[n] bytes. Replaces a numpy build whose
+   padded (n x maxw) staging matrix and per-depth gathers touched
+   ~6x the payload in fresh pages. */
+void emit_prios(int64_t n, const int64_t *parent_rank, const int32_t *li,
+                int64_t rank0, const uint8_t *seed_prio,
+                const int32_t *seed_ord, const int64_t *offsets,
+                uint8_t *data)
+{
+    static const char hexd[] = "0123456789abcdef";
+    for (int64_t r = 0; r < n; r++) {
+        uint8_t *dst = data + offsets[r];
+        int64_t pr = parent_rank[r];
+        if (pr < 0) {
+            memcpy(dst, seed_prio + (int64_t)seed_ord[r] * 4, 4);
+        } else {
+            int64_t p = pr - rank0;
+            int64_t plen = offsets[p + 1] - offsets[p];
+            memcpy(dst, data + offsets[p], (size_t)plen);
+            uint32_t v = (uint32_t)li[r];
+            dst += plen;
+            dst[0] = hexd[(v >> 12) & 0xF];
+            dst[1] = hexd[(v >> 8) & 0xF];
+            dst[2] = hexd[(v >> 4) & 0xF];
+            dst[3] = hexd[v & 0xF];
+        }
+    }
+}
 """
 
 _lib = None
@@ -232,6 +268,10 @@ def _load_lib():
                                    ctypes.c_int64, i64p, i32p]
         lib.csr_bounds.restype = ctypes.c_int64
         lib.csr_bounds.argtypes = [ctypes.c_int64, i32p, i32p, i64p]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.emit_prios.restype = None
+        lib.emit_prios.argtypes = [ctypes.c_int64, i64p, i32p,
+                                   ctypes.c_int64, u8p, i32p, i64p, u8p]
         _lib = lib
     except Exception:  # noqa: BLE001 — no cc / sandboxed: fall back
         _lib = None
@@ -381,6 +421,75 @@ def csr_runlength(p):
                        starts.ctypes.data_as(i64p))
     starts[m] = n
     return uniq[:m].copy(), starts[:m + 1].copy()
+
+
+_HEX_W = 4  # hex digits per priority-vector level (file format)
+
+
+def emit_prios(depth, parent_rank, li, rank0, seed_prio, seed_ord):
+    """Build the claims batch's priority-vector byte blob in visit
+    order: (offsets int64[n+1], data uint8[total]) where row r's prio
+    is data[offsets[r]:offsets[r+1]] — prio(parent) ++ hex4(li), and
+    seed rows (parent_rank < 0) copy seed_prio[seed_ord[r]*4:][:4].
+
+    One forward C pass when a toolchain exists (parents precede
+    children within a sweep call, so the prefix copy reads
+    just-written, cache-warm bytes); a per-depth vectorized numpy
+    twin otherwise — the twin stages rows in a padded (n x maxw)
+    matrix, which at millions of claims touches ~6x the payload in
+    fresh pages and measured 20-50 s next to a full JVM heap, which
+    is why the C pass exists. Both pinned equal in tests."""
+    n = len(depth)
+    depth64 = np.asarray(depth, np.int64)
+    parent_rank = np.ascontiguousarray(parent_rank, np.int64)
+    li32 = np.ascontiguousarray(li, np.int32)
+    seed_ord = np.ascontiguousarray(seed_ord, np.int32)
+    seed_prio = np.ascontiguousarray(seed_prio, np.uint8)
+    lens = _HEX_W * (depth64 + 1)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    data = np.empty(int(offsets[-1]), np.uint8)
+    if n == 0:
+        return offsets, data
+    lib = _load_lib()
+    if lib is not None:
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.emit_prios(n, parent_rank.ctypes.data_as(i64p),
+                       li32.ctypes.data_as(i32p),
+                       ctypes.c_int64(rank0),
+                       seed_prio.ctypes.data_as(u8p),
+                       seed_ord.ctypes.data_as(i32p),
+                       offsets.ctypes.data_as(i64p),
+                       data.ctypes.data_as(u8p))
+        return offsets, data
+    # numpy twin
+    local_pr = np.maximum(parent_rank - rank0, 0)
+    max_d = int(depth64.max())
+    W = _HEX_W * (max_d + 1)
+    buf = np.zeros((n, W), np.uint8)
+    hexd = np.frombuffer(b"0123456789abcdef", np.uint8)
+    li64 = li32.astype(np.int64)
+    comp = np.empty((n, _HEX_W), np.uint8)
+    for k in range(_HEX_W):
+        comp[:, k] = hexd[(li64 >> (4 * (_HEX_W - 1 - k))) & 0xF]
+    srows = np.flatnonzero(parent_rank < 0)
+    buf[srows, :_HEX_W] = seed_prio.reshape(-1, _HEX_W)[seed_ord[srows]]
+    for d in range(1, max_d + 1):
+        rows = np.flatnonzero(depth64 == d)
+        if not len(rows):
+            continue
+        w_par = _HEX_W * d
+        buf[rows, :w_par] = buf[local_pr[rows], :w_par]
+        buf[rows, w_par:w_par + _HEX_W] = comp[rows]
+    for d in range(0, max_d + 1):
+        rows = np.flatnonzero(depth64 == d)
+        if not len(rows):
+            continue
+        w = _HEX_W * (d + 1)
+        data[offsets[rows][:, None] + np.arange(w)[None, :]] = buf[rows, :w]
+    return offsets, data
 
 
 def sweep(c_sorted, i_sorted, uniq_p, starts, seeds, n_nodes, max_depth):

@@ -1794,6 +1794,8 @@ class FrontierEngine:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        from ..core.dfs_kernel import emit_prios
+
         n = len(out_h)
         # parent ranks are GLOBAL but a claim's parent is always
         # claimed by the same sweep call (DFS parents lie on the path
@@ -1801,38 +1803,21 @@ class FrontierEngine:
         local_pr = np.maximum(out_parent_rank - rank0, 0)
         parent_h = pa.array(out_h[local_pr] if n else out_h,
                             pa.int64(), mask=out_parent_rank < 0)
-        # ---- vectorized prio build ----
-        depth64 = out_depth.astype(np.int64)
-        max_d = int(depth64.max()) if n else 0
-        W = _HEX_W * (max_d + 1)
-        buf = np.zeros((n, W), np.uint8)        # row i: prio bytes, padded
-        lens = _HEX_W * (depth64 + 1)           # true byte length per claim
-        hexd = np.frombuffer(b"0123456789abcdef", np.uint8)
-        li = out_li.astype(np.int64)
-        comp = np.empty((n, _HEX_W), np.uint8)  # hex4(link_index) per claim
-        for k in range(_HEX_W):
-            comp[:, k] = hexd[(li >> (4 * (_HEX_W - 1 - k))) & 0xF]
-        for i in np.flatnonzero(out_parent_rank < 0):  # ≤ n_seeds rows
+        # ---- prio build: one forward pass in the C kernel ----
+        # (numpy twin inside emit_prios when no toolchain; pinned
+        # equal in tests/test_dfs_kernel.py)
+        srows = np.flatnonzero(out_parent_rank < 0)     # ≤ n_seeds rows
+        seed_blob = bytearray()
+        seed_ord = np.zeros(n, np.int32)
+        for j, i in enumerate(srows):
             p = seed_prio_by_h[int(out_h[i])]
             assert len(p) == _HEX_W
-            buf[i, :_HEX_W] = np.frombuffer(p, np.uint8)
-        for d in range(1, max_d + 1):
-            rows = np.flatnonzero(depth64 == d)
-            if not len(rows):
-                continue
-            w_par = _HEX_W * d
-            buf[rows, :w_par] = buf[local_pr[rows], :w_par]
-            buf[rows, w_par:w_par + _HEX_W] = comp[rows]
-        offsets = np.zeros(n + 1, np.int64)
-        np.cumsum(lens, out=offsets[1:])
-        data = np.empty(int(offsets[-1]), np.uint8)
-        for d in range(0, max_d + 1):
-            rows = np.flatnonzero(depth64 == d)
-            if not len(rows):
-                continue
-            w = _HEX_W * (d + 1)
-            data[offsets[rows][:, None] + np.arange(w)[None, :]] = \
-                buf[rows, :w]
+            seed_blob += p
+            seed_ord[i] = j
+        offsets, data = emit_prios(
+            out_depth, out_parent_rank, out_li, rank0,
+            np.frombuffer(bytes(seed_blob) or b"\0" * _HEX_W, np.uint8),
+            seed_ord)
         prio_arr = pa.LargeStringArray.from_buffers(
             n, pa.py_buffer(offsets), pa.py_buffer(data))
         os.makedirs(claims_path, exist_ok=True)

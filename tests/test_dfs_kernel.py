@@ -184,3 +184,67 @@ def test_resume_sweep_matches_one_shot(seed, n_chunks):
         for k in range(1, 5):
             got = np.concatenate([p[k] for p in parts])
             np.testing.assert_array_equal(got, ref[k], err_msg=f"{impl}:{k}")
+
+
+@pytest.mark.parametrize("seed", [3, 4, 5])
+def test_emit_prios_c_matches_numpy_twin(seed):
+    """The C one-pass prio emitter and the vectorized numpy twin build
+    byte-identical (offsets, data) blobs on random claim forests, and
+    both reproduce the direct per-row reference build."""
+    import crawler_spark.core.dfs_kernel as dk
+
+    rng = np.random.default_rng(seed)
+    n = 5000
+    depth = rng.choice(np.arange(7), n,
+                       p=[.05, .1, .2, .25, .2, .12, .08]).astype(np.int32)
+    depth.sort()
+    depth[0] = 0
+    by_d = {d: np.flatnonzero(depth == d) for d in range(7)}
+    parent_rank = np.full(n, -1, np.int64)
+    rank0 = 1000 * seed
+    for d in range(1, 7):
+        rows, parents = by_d[d], by_d[d - 1]
+        if not len(rows) or not len(parents):
+            continue
+        parent_rank[rows] = rank0 + parents[
+            (rng.random(len(rows)) * len(parents)).astype(np.int64)]
+    li = rng.integers(0, 40, n).astype(np.int32)
+    srows = np.flatnonzero(parent_rank < 0)
+    seed_prio = rng.integers(97, 103, 4 * len(srows)).astype(np.uint8)
+    seed_ord = np.zeros(n, np.int32)
+    seed_ord[srows] = np.arange(len(srows), dtype=np.int32)
+
+    assert dk._load_lib() is not None  # the C path must exist here
+    off_c, data_c = dk.emit_prios(depth, parent_rank, li, rank0,
+                                  seed_prio, seed_ord)
+    # force the numpy twin
+    saved, saved_tried = dk._lib, dk._lib_tried
+    dk._lib, dk._lib_tried = None, True
+    try:
+        off_np, data_np = dk.emit_prios(depth, parent_rank, li, rank0,
+                                        seed_prio, seed_ord)
+    finally:
+        dk._lib, dk._lib_tried = saved, saved_tried
+    assert np.array_equal(off_c, off_np)
+    assert np.array_equal(data_c, data_np)
+
+    # per-row reference: prio = prio(parent) ++ hex4(li), seeds copy
+    # their 4-byte seed prio
+    prios = [None] * n
+    for r in range(n):
+        if parent_rank[r] < 0:
+            prios[r] = bytes(seed_prio[4 * seed_ord[r]:
+                                       4 * seed_ord[r] + 4])
+        else:
+            p = int(parent_rank[r]) - rank0
+            prios[r] = prios[p] + f"{int(li[r]):04x}".encode()
+        got = bytes(data_c[off_c[r]:off_c[r + 1]])
+        assert got == prios[r], r
+
+    # empty batch
+    off0, data0 = dk.emit_prios(np.empty(0, np.int32),
+                                np.empty(0, np.int64),
+                                np.empty(0, np.int32), 0,
+                                np.zeros(4, np.uint8),
+                                np.empty(0, np.int32))
+    assert list(off0) == [0] and len(data0) == 0
