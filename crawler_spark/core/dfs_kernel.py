@@ -184,11 +184,18 @@ int64_t csr_bounds(int64_t n, const int32_t *p,
    via seed_ord[row]. offsets[n+1] = cumsum of 4*(depth+1); data is
    caller-allocated at offsets[n] bytes. Replaces a numpy build whose
    padded (n x maxw) staging matrix and per-depth gathers touched
-   ~6x the payload in fresh pages. */
-void emit_prios(int64_t n, const int64_t *parent_rank, const int32_t *li,
-                int64_t rank0, const uint8_t *seed_prio,
-                const int32_t *seed_ord, const int64_t *offsets,
-                uint8_t *data)
+   ~6x the payload in fresh pages.
+
+   Returns 0 on success, or 1 + the first row whose parent rank falls
+   outside this batch (0 <= pr - rank0 < r is the same-batch-parent
+   invariant the sweep guarantees; a violated invariant — corrupted
+   claims batch, future resume bug — must fail loud, not read or
+   write out of bounds). The two compares are always-false in a valid
+   batch, so the hot path stays branch-predictable. */
+int64_t emit_prios(int64_t n, const int64_t *parent_rank, const int32_t *li,
+                   int64_t rank0, const uint8_t *seed_prio,
+                   const int32_t *seed_ord, const int64_t *offsets,
+                   uint8_t *data)
 {
     static const char hexd[] = "0123456789abcdef";
     for (int64_t r = 0; r < n; r++) {
@@ -198,6 +205,7 @@ void emit_prios(int64_t n, const int64_t *parent_rank, const int32_t *li,
             memcpy(dst, seed_prio + (int64_t)seed_ord[r] * 4, 4);
         } else {
             int64_t p = pr - rank0;
+            if (p < 0 || p >= r) return r + 1;
             int64_t plen = offsets[p + 1] - offsets[p];
             memcpy(dst, data + offsets[p], (size_t)plen);
             uint32_t v = (uint32_t)li[r];
@@ -208,6 +216,7 @@ void emit_prios(int64_t n, const int64_t *parent_rank, const int32_t *li,
             dst[3] = hexd[v & 0xF];
         }
     }
+    return 0;
 }
 """
 
@@ -269,7 +278,7 @@ def _load_lib():
         lib.csr_bounds.restype = ctypes.c_int64
         lib.csr_bounds.argtypes = [ctypes.c_int64, i32p, i32p, i64p]
         u8p = ctypes.POINTER(ctypes.c_uint8)
-        lib.emit_prios.restype = None
+        lib.emit_prios.restype = ctypes.c_int64
         lib.emit_prios.argtypes = [ctypes.c_int64, i64p, i32p,
                                    ctypes.c_int64, u8p, i32p, i64p, u8p]
         _lib = lib
@@ -456,15 +465,31 @@ def emit_prios(depth, parent_rank, li, rank0, seed_prio, seed_ord):
         i64p = ctypes.POINTER(ctypes.c_int64)
         i32p = ctypes.POINTER(ctypes.c_int32)
         u8p = ctypes.POINTER(ctypes.c_uint8)
-        lib.emit_prios(n, parent_rank.ctypes.data_as(i64p),
-                       li32.ctypes.data_as(i32p),
-                       ctypes.c_int64(rank0),
-                       seed_prio.ctypes.data_as(u8p),
-                       seed_ord.ctypes.data_as(i32p),
-                       offsets.ctypes.data_as(i64p),
-                       data.ctypes.data_as(u8p))
+        rc = lib.emit_prios(n, parent_rank.ctypes.data_as(i64p),
+                            li32.ctypes.data_as(i32p),
+                            ctypes.c_int64(rank0),
+                            seed_prio.ctypes.data_as(u8p),
+                            seed_ord.ctypes.data_as(i32p),
+                            offsets.ctypes.data_as(i64p),
+                            data.ctypes.data_as(u8p))
+        if rc != 0:
+            raise ValueError(
+                f"emit_prios: claim row {rc - 1} has parent rank "
+                f"{int(parent_rank[rc - 1])} outside its batch "
+                f"(rank0={rank0}) — corrupted claims batch")
         return offsets, data
-    # numpy twin
+    # numpy twin: same guard (the clamp below would otherwise turn a
+    # violated same-batch-parent invariant into silently wrong prios)
+    bad = np.flatnonzero((parent_rank >= 0)
+                         & ((parent_rank - rank0 < 0)
+                            | (parent_rank - rank0
+                               >= np.arange(n, dtype=np.int64))))
+    if len(bad):
+        r = int(bad[0])
+        raise ValueError(
+            f"emit_prios: claim row {r} has parent rank "
+            f"{int(parent_rank[r])} outside its batch "
+            f"(rank0={rank0}) — corrupted claims batch")
     local_pr = np.maximum(parent_rank - rank0, 0)
     max_d = int(depth64.max())
     W = _HEX_W * (max_d + 1)

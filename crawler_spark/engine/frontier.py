@@ -1741,6 +1741,10 @@ class FrontierEngine:
         state = SweepState(n_nodes)
         seed_prio = {int(r["h"]): r["prio"].encode() for r in seed_rows}
         shard_secs = []
+        write_sec = 0.0  # this resolve's writes only, excluded from
+        # dfs_sweep below so the sharded and skeleton paths report the
+        # same disjoint step breakdown (and a second resolve on the
+        # same engine can't double-count the previous call's writes)
         for k, s in enumerate(order):
             t_s = time.time()
             c_id, i_sorted, uniq_p_id, bounds = nxt_fut.result()
@@ -1758,12 +1762,11 @@ class FrontierEngine:
             self._write_claims(claims_path, out_h, out_depth, out_pr,
                                out_li, rank0=state.rank - n, part=s,
                                seed_prio_by_h=seed_prio)
-            self.timings["claims_write"] = round(
-                self.timings.get("claims_write", 0.0)
-                + (time.time() - t_w), 2)
+            write_sec += time.time() - t_w
             shard_secs.append(round(time.time() - t_s, 2))
         pool.shutdown(wait=False)
-        self.timings["dfs_sweep"] = round(time.time() - t0, 2)
+        self.timings["claims_write"] = round(write_sec, 2)
+        self.timings["dfs_sweep"] = round(time.time() - t0 - write_sec, 2)
         self.timings["sweep_impl"] = state.impl
         self.timings["shard_sweeps"] = shard_secs
         return self._claims_to_visits(claims_path, seeds)
