@@ -72,14 +72,17 @@ typedef struct { int32_t id; int32_t depth; int64_t parent_rank; int32_t li; } f
    sweep against the claims of earlier shards), rank0 is the global
    rank of this call's first claim. Returns the number of claims made
    BY THIS CALL (outputs are call-local arrays; parent_rank is the
-   GLOBAL rank). -2 on allocation failure. */
+   GLOBAL rank). -2 on allocation failure. seed_counts (optional,
+   NULL to skip): cumulative claim count after each seed's subtree —
+   the per-seed segment boundaries the optimistic parallel-shard
+   validator needs to accept a conflict-free seed prefix. */
 int64_t dfs_sweep_dense_resume(
     int64_t n_edges, const int32_t *c, const int32_t *li,
     int64_t m, const int32_t *uniq_p, const int64_t *starts,
     int64_t n_seeds, const int32_t *seeds, int32_t maxd,
     int64_t n_nodes, int32_t *rank_of, int64_t rank0,
     int32_t *out_id, int32_t *out_depth, int64_t *out_parent_rank,
-    int32_t *out_li)
+    int32_t *out_li, int64_t *seed_counts)
 {
     /* csr_of[id] = row into uniq_p/starts or -1: shard-local, built
        per call from this call's (shard's) CSR */
@@ -112,6 +115,7 @@ int64_t dfs_sweep_dense_resume(
                 st[sp++] = nf;
             }
         }
+        if (seed_counts) seed_counts[sidx] = n_out;
     }
     free(csr_of); free(st);
     return n_out;
@@ -130,7 +134,8 @@ int64_t dfs_sweep_dense(
     memset(rank_of, 0xff, (size_t)n_nodes * 4);   /* all -1 */
     int64_t n = dfs_sweep_dense_resume(
         n_edges, c, li, m, uniq_p, starts, n_seeds, seeds, maxd,
-        n_nodes, rank_of, 0, out_id, out_depth, out_parent_rank, out_li);
+        n_nodes, rank_of, 0, out_id, out_depth, out_parent_rank, out_li,
+        (int64_t *)0);
     free(rank_of);
     return n < 0 ? -1 : n;
 }
@@ -271,7 +276,7 @@ def _load_lib():
             ctypes.c_int64, i32p, i64p,
             ctypes.c_int64, i32p, ctypes.c_int32,
             ctypes.c_int64, i32p, ctypes.c_int64,
-            i32p, i32p, i64p, i32p]
+            i32p, i32p, i64p, i32p, i64p]
         lib.encode_ids.restype = None
         lib.encode_ids.argtypes = [ctypes.c_int64, i64p,
                                    ctypes.c_int64, i64p, i32p]
@@ -540,19 +545,34 @@ class SweepState:
     semantically — both implement the same contract — but keeping one
     makes `impl` reporting truthful)."""
 
-    def __init__(self, n_nodes: int):
+    def __init__(self, n_nodes: int, rank_of=None, rank: int = 0):
+        """`rank_of`/`rank` (optional): ADOPT an existing claim state
+        instead of starting empty — the parallel-shard validator owns
+        one shared rank_of array and hands it to a fresh state for
+        each conflict re-sweep (C kernel only: the py fallback keeps
+        claims in a dict, which an external int32 array can't seed
+        cheaply)."""
         self.n_nodes = int(n_nodes)
-        self.rank = 0
+        self.rank = int(rank)
         self._lib = _load_lib()
         if self._lib is not None:
             self.impl = "c"
-            self.rank_of = np.full(self.n_nodes, -1, np.int32)
+            if rank_of is not None:
+                assert (rank_of.dtype == np.int32
+                        and rank_of.flags["C_CONTIGUOUS"]
+                        and len(rank_of) == self.n_nodes)
+                self.rank_of = rank_of
+            else:
+                self.rank_of = np.full(self.n_nodes, -1, np.int32)
         else:
             self.impl = "py"
+            if rank_of is not None:
+                raise ValueError(
+                    "SweepState rank_of adoption requires the C kernel")
             self.claimed: dict[int, int] = {}
 
     def _sweep_shard_c(self, c_sorted, i_sorted, uniq_p, starts, seeds,
-                       max_depth):
+                       max_depth, seed_counts=None):
         lib = self._lib
         n_edges = len(c_sorted)
         out_n = self.n_nodes - self.rank  # claims left ≤ unclaimed nodes
@@ -579,7 +599,8 @@ class SweepState:
             len(uniq_p), p32(uniq_p), p64(starts),
             len(seeds), p32(seeds), max_depth,
             self.n_nodes, p32(self.rank_of), self.rank,
-            p32(out_id), p32(out_depth), p64(out_parent), p32(out_li))
+            p32(out_id), p32(out_depth), p64(out_parent), p32(out_li),
+            None if seed_counts is None else p64(seed_counts))
         if n < 0:
             raise MemoryError("dfs_sweep_dense_resume allocation failure")
         self.rank += int(n)
@@ -587,7 +608,7 @@ class SweepState:
                 out_li[:n])
 
     def _sweep_shard_py(self, c_sorted, i_sorted, uniq_p, starts, seeds,
-                        max_depth):
+                        max_depth, seed_counts=None):
         c_l = np.asarray(c_sorted, np.int64).tolist()
         i_l = np.asarray(i_sorted, np.int64).tolist()
         bounds = np.asarray(starts, np.int64)
@@ -602,7 +623,7 @@ class SweepState:
         push = stack.append
         pop = stack.pop
         rank0 = self.rank
-        for sh in np.asarray(seeds, np.int64).tolist():
+        for sidx, sh in enumerate(np.asarray(seeds, np.int64).tolist()):
             push((sh, 0, -1, -1))
             while stack:
                 nid, depth, parent_rank, li = pop()
@@ -623,6 +644,8 @@ class SweepState:
                             ch = c_l[k]
                             if ch >= 0 and ch not in claimed:
                                 push((ch, d1, rank, i_l[k]))
+            if seed_counts is not None:
+                seed_counts[sidx] = len(out_id)
         n = len(out_id)
         self.rank = rank0 + n
         return (n, np.array(out_id, np.int32),
@@ -631,11 +654,19 @@ class SweepState:
                 np.array(out_li, np.int32))
 
     def sweep_shard(self, c_sorted, i_sorted, uniq_p, starts, seeds,
-                    max_depth):
+                    max_depth, seed_counts=None):
         """One shard's sweep. Returns (n, id, depth, parent_rank, li)
-        — call-local arrays, GLOBAL parent ranks."""
+        — call-local arrays, GLOBAL parent ranks. `seed_counts`
+        (optional int64[n_seeds], filled in place): cumulative claim
+        count after each seed's subtree — the per-seed segment
+        boundaries the parallel-shard prefix validator consumes. Must
+        be C-contiguous int64 (filled through its buffer)."""
+        if seed_counts is not None:
+            assert (seed_counts.dtype == np.int64
+                    and seed_counts.flags["C_CONTIGUOUS"]
+                    and len(seed_counts) >= len(seeds))
         if self.impl == "c":
             return self._sweep_shard_c(c_sorted, i_sorted, uniq_p, starts,
-                                       seeds, max_depth)
+                                       seeds, max_depth, seed_counts)
         return self._sweep_shard_py(c_sorted, i_sorted, uniq_p, starts,
-                                    seeds, max_depth)
+                                    seeds, max_depth, seed_counts)

@@ -153,6 +153,53 @@ def _node_hash_by_id(nodes_path: str):
     return node_arr
 
 
+def _shard_sweep_optimistic(args):
+    """Process-pool worker for the PARALLEL sharded resolve: load one
+    shard's skeleton and sweep it OPTIMISTICALLY (empty claim state —
+    as if no earlier shard had claimed anything). Runs in a forked
+    child: numpy + pyarrow + the C kernel only, no Spark (the py4j
+    gateway talks to a separate JVM process, and forked pool children
+    exit via os._exit, so the parent's JVM connection is untouched).
+
+    Returns call-local claims in visit order plus per-seed cumulative
+    claim boundaries (`seed_counts`). The parent validates each
+    shard's optimistic result against the true global claim state in
+    seed-rank order: if the optimistic claims are disjoint from every
+    earlier shard's accepted claims, the optimistic sweep IS the true
+    sweep (an optimistic run only diverges at the first pop of an
+    already-claimed node, and any such node would itself appear in the
+    optimistic claim set — so disjointness certifies the whole run);
+    otherwise the longest conflict-free seed PREFIX is accepted (later
+    seeds never influence earlier ones) and only the remaining seeds
+    re-sweep sequentially against the true state."""
+    sharded_path, s, seed_ids, n_nodes, max_depth = args
+    import numpy as np
+    import pyarrow as pa
+
+    from ..core.dfs_kernel import SweepState, csr_runlength
+
+    t0 = time.time()
+    empty = {"p_id": pa.array([], pa.int32()),
+             "i": pa.array([], pa.int32()),
+             "c_id": pa.array([], pa.int32())}
+    sdir = os.path.join(sharded_path, f"shard={s}")
+    skel_t = (_read_parquet_dir(sdir, empty)
+              if os.path.isdir(sdir) else pa.table(empty))
+    p_ids = skel_t["p_id"].to_numpy(zero_copy_only=False)
+    i_sorted = skel_t["i"].to_numpy(zero_copy_only=False)
+    c_id = np.ascontiguousarray(
+        skel_t["c_id"].to_numpy(zero_copy_only=False), np.int32)
+    uniq_p, bounds = csr_runlength(p_ids)
+    del skel_t, p_ids
+    state = SweepState(n_nodes)
+    seed_id = np.asarray(seed_ids, np.int32)
+    seed_counts = np.zeros(len(seed_id), np.int64)
+    n, out_id, out_depth, out_pr, out_li = state.sweep_shard(
+        c_id, i_sorted, uniq_p, bounds, seed_id, max_depth, seed_counts)
+    return (s, n, out_id, out_depth, out_pr, out_li, seed_counts,
+            round(time.time() - t0, 2), state.impl)
+
+
 # ---------------------------------------------------------------------------
 # admission (F2-F5) as reusable native expressions
 # ---------------------------------------------------------------------------
@@ -1340,7 +1387,8 @@ class FrontierEngine:
 
     def resolve(self, max_iters: int | None = None,
                 strategy: str = "skeleton",
-                n_shards: int = 4) -> DataFrame:
+                n_shards: int = 4,
+                shard_procs: int | None = None) -> DataFrame:
         """Exact DFS-claim resolution over the explored edge set.
         Returns the visits DataFrame: (url, url_hash, host, depth,
         parent_url, link_index, prio, status_code, visit_rank,
@@ -1387,7 +1435,8 @@ class FrontierEngine:
         if strategy == "skeleton":
             claims = self._resolve_skeleton(edges, seeds)
         elif strategy == "sharded":
-            claims = self._resolve_sharded(edges, seeds, n_shards=n_shards)
+            claims = self._resolve_sharded(edges, seeds, n_shards=n_shards,
+                                           shard_procs=shard_procs)
         else:
             claims = self._resolve_fixpoint(edges.localCheckpoint(), seeds,
                                             max_iters)
@@ -1565,7 +1614,8 @@ class FrontierEngine:
         return self._claims_to_visits(claims_path, seeds)
 
     def _resolve_sharded(self, edges: DataFrame, seeds: DataFrame,
-                         n_shards: int = 4) -> DataFrame:
+                         n_shards: int = 4,
+                         shard_procs: int | None = None) -> DataFrame:
         """Seed-branch-sharded exact resolve — the out-of-core path
         past driver memory that the skeleton strategy's docstring
         promises. Claims under seed rank r never depend on later seeds
@@ -1589,7 +1639,7 @@ class FrontierEngine:
         import numpy as np
         import pyarrow as pa
 
-        from ..core.dfs_kernel import SweepState, csr_runlength
+        from ..core.dfs_kernel import SweepState, _load_lib, csr_runlength
 
         nodes_path, skel_path, nodes_id = self._encode_skeleton(edges, seeds)
         t0 = time.time()
@@ -1726,8 +1776,24 @@ class FrontierEngine:
             uniq_p_id, bounds = csr_runlength(p_ids)
             return c_id, i_sorted, uniq_p_id, bounds
 
-        from concurrent.futures import ThreadPoolExecutor
         order = sorted(shard_seed_ids)
+        if shard_procs is None:
+            # auto-gate: the parallel path pays fork+IPC per shard, so
+            # it only engages when the labeled edge set is big enough
+            # that per-shard sweeps are seconds, not milliseconds
+            n_labeled = sum(self._footer_rows(sharded_path).values())
+            shard_procs = (min(len(order),
+                               max(2, (os.cpu_count() or 8) // 4))
+                           if n_labeled >= 2_000_000 else 1)
+        if (shard_procs > 1 and len(order) > 1
+                and _load_lib() is not None):
+            # parallel optimistic sweeps + sequential validation (C
+            # kernel required: the validator adopts the shared rank_of
+            # array for conflict re-sweeps)
+            return self._sweep_shards_parallel(
+                order, shard_seed_ids, sharded_path, nodes_path,
+                seed_rows, seeds, _load_shard, shard_procs)
+        from concurrent.futures import ThreadPoolExecutor
         pool = ThreadPoolExecutor(max_workers=1)
         # shard 0's load overlaps the node-table read below — the only
         # shard whose IO nothing else can hide
@@ -1769,6 +1835,126 @@ class FrontierEngine:
         self.timings["dfs_sweep"] = round(time.time() - t0 - write_sec, 2)
         self.timings["sweep_impl"] = state.impl
         self.timings["shard_sweeps"] = shard_secs
+        return self._claims_to_visits(claims_path, seeds)
+
+    def _sweep_shards_parallel(self, order, shard_seed_ids,
+                               sharded_path, nodes_path, seed_rows,
+                               seeds, load_shard, shard_procs):
+        """Parallel seed-branch sweeps with EXACT validation — the
+        per-shard DFS sweeps of `_resolve_sharded` fanned out to a
+        process pool (the C kernel is ctypes and each worker is its
+        own process, so the sweeps genuinely overlap), while the claim
+        semantics stay identical to the sequential path:
+
+          * every shard is swept OPTIMISTICALLY (empty claim state)
+            in a forked worker — all shards concurrently, bounded by
+            `shard_procs` workers (driver memory: one shard edge set +
+            one rank_of per LIVE worker);
+          * the parent consumes results in seed-rank order and
+            validates each against the true global claim state: claims
+            disjoint from everything earlier ⇒ the optimistic sweep is
+            provably the true sweep (see _shard_sweep_optimistic) and
+            is accepted wholesale with ranks shifted to global;
+          * on conflict, the longest conflict-free seed PREFIX is
+            accepted (per-seed boundaries come from the kernel's
+            seed_counts) and the remaining seeds re-sweep in-process
+            against the true state — exactly the sequential semantics,
+            paid only for the overlapping suffix.
+
+        Disjoint seed branches (the common case when seeds are
+        distinct sites) validate clean and the sweep wall collapses
+        from sum(shards) to ~max(shard); heavily overlapping branches
+        degrade gracefully toward the sequential cost plus a wasted
+        (but parallel) optimistic pass. `shard_resweeps` in timings
+        reports how much of the optimistic work survived."""
+        import multiprocessing as mp
+        import numpy as np
+        from concurrent.futures import ProcessPoolExecutor
+
+        from ..core.dfs_kernel import SweepState
+
+        t0 = time.time()
+        node_arr = _node_hash_by_id(nodes_path)
+        n_nodes = len(node_arr)
+        self.timings["skeleton_read"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        claims_path = self._paths("claims")
+        shutil.rmtree(claims_path, ignore_errors=True)
+        seed_prio = {int(r["h"]): r["prio"].encode() for r in seed_rows}
+        rank_of = np.full(n_nodes, -1, np.int32)
+        rank = 0
+        shard_secs: list[float] = []
+        resweeps = 0
+        write_sec = 0.0
+        sweep_impl = "c"
+        max_depth = int(self.cfg.max_depth)
+        # explicit fork: children inherit the loaded C kernel and skip
+        # the multi-second pyspark re-import a spawn/forkserver child
+        # pays; pool children exit via os._exit, so the parent's py4j
+        # socket to the (separate) JVM process is never torn down
+        with ProcessPoolExecutor(max_workers=shard_procs,
+                                 mp_context=mp.get_context("fork")) as ex:
+            futs = [ex.submit(_shard_sweep_optimistic,
+                              (sharded_path, s, shard_seed_ids[s],
+                               n_nodes, max_depth))
+                    for s in order]
+            for k, fut in enumerate(futs):
+                s = order[k]
+                (_s, n, out_id, out_depth, out_pr, out_li, seed_counts,
+                 wall, impl) = fut.result()
+                sweep_impl = impl
+                shard_secs.append(wall)
+                rank0_shard = rank
+                conflict = (np.flatnonzero(rank_of[out_id] >= 0)
+                            if n else np.empty(0, np.int64))
+                if len(conflict) == 0:
+                    acc = n
+                    reseed_from = None
+                else:
+                    # first conflicting claim → its seed segment;
+                    # accept every seed before it (their claims end
+                    # strictly before the conflict index)
+                    first = int(conflict[0])
+                    seg = int(np.searchsorted(seed_counts, first,
+                                              side="right"))
+                    acc = int(seed_counts[seg - 1]) if seg > 0 else 0
+                    reseed_from = seg
+                parts = []
+                if acc:
+                    a_pr = out_pr[:acc].copy()
+                    a_pr[a_pr >= 0] += rank0_shard
+                    rank_of[out_id[:acc]] = np.arange(
+                        rank, rank + acc, dtype=np.int32)
+                    rank += acc
+                    parts.append((out_id[:acc], out_depth[:acc], a_pr,
+                                  out_li[:acc]))
+                if reseed_from is not None:
+                    resweeps += 1
+                    c_id, i_sorted, uniq_p, bounds = load_shard(s)
+                    rest = np.asarray(
+                        shard_seed_ids[s][reseed_from:], np.int32)
+                    st = SweepState(n_nodes, rank_of=rank_of, rank=rank)
+                    n2, r_id, r_depth, r_pr, r_li = st.sweep_shard(
+                        c_id, i_sorted, uniq_p, bounds, rest, max_depth)
+                    rank = st.rank
+                    if n2:
+                        parts.append((r_id, r_depth, r_pr, r_li))
+                if parts:
+                    f_id = np.concatenate([p[0] for p in parts])
+                    f_dep = np.concatenate([p[1] for p in parts])
+                    f_pr = np.concatenate([p[2] for p in parts])
+                    f_li = np.concatenate([p[3] for p in parts])
+                    t_w = time.time()
+                    self._write_claims(
+                        claims_path, node_arr[f_id], f_dep, f_pr, f_li,
+                        rank0=rank0_shard, part=s,
+                        seed_prio_by_h=seed_prio)
+                    write_sec += time.time() - t_w
+        self.timings["claims_write"] = round(write_sec, 2)
+        self.timings["dfs_sweep"] = round(time.time() - t0 - write_sec, 2)
+        self.timings["sweep_impl"] = f"{sweep_impl}*{shard_procs}procs"
+        self.timings["shard_sweeps"] = shard_secs
+        self.timings["shard_resweeps"] = resweeps
         return self._claims_to_visits(claims_path, seeds)
 
     @staticmethod

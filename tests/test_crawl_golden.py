@@ -174,6 +174,82 @@ def test_sharded_multiword_masks(spark, tmp_path):
     assert len(eng.timings["shard_sweeps"]) == 80
 
 
+def _has_c_kernel() -> bool:
+    from crawler_spark.core.dfs_kernel import _load_lib
+    return _load_lib() is not None
+
+
+def test_sharded_parallel_overlapping_branches(spark, tmp_path):
+    """shard_procs>1 drives the process-pool optimistic path (the
+    size auto-gate picks sequential at this scale, so it is passed
+    explicitly). t-smoke's seed branches share pages, so optimistic
+    sweeps CONFLICT and the validator's prefix-accept + re-sweep
+    fallback must reproduce the skeleton sweep row-for-row anyway."""
+    cfg = CrawlConfig(max_depth=3)
+    eng = FrontierEngine(spark, cfg, FIXDIR,
+                         fresh_ckpt(str(tmp_path / "pp")))
+    eng.explore()
+    base = [_visit_tuple_engine(r) for r in
+            eng.resolve(strategy="skeleton")
+            .orderBy("visit_rank").collect()]
+    for n_shards, procs in ((2, 2), (4, 3)):
+        got = [_visit_tuple_engine(r) for r in
+               eng.resolve(strategy="sharded", n_shards=n_shards,
+                           shard_procs=procs)
+               .orderBy("visit_rank").collect()]
+        assert got == base, f"n_shards={n_shards} procs={procs}"
+        if _has_c_kernel():
+            assert "procs" in str(eng.timings["sweep_impl"])
+            assert "shard_resweeps" in eng.timings
+
+
+def test_sharded_parallel_disjoint_branches(spark, tmp_path):
+    """Disjoint seed branches (one binary tree per host, no cross-host
+    links) must validate conflict-free: every optimistic worker sweep
+    is accepted wholesale (shard_resweeps == 0) and the claims equal
+    the skeleton sweep row-for-row — the wall-collapse case the
+    parallel path exists for."""
+    def link(i, href):
+        return dict(href=href, label=f"l{i}", selector=f"a.l{i}",
+                    element_type="a", pos_x=0, pos_y=0, link_index=i)
+
+    def page(url, hrefs):
+        host = url.split("/")[2]
+        return dict(url=url, host=host, status_code=200,
+                    title=f"T {url}", meta_description="", text_content="",
+                    headings=[], links=[link(i, h)
+                                        for i, h in enumerate(hrefs)],
+                    images=[], forms=[], load_time_ms=10)
+
+    fix = str(tmp_path / "disjoint-web")
+    os.makedirs(fix, exist_ok=True)
+    pages, seed_urls = [], []
+    n_tree = 2 ** 4 - 1  # complete binary tree, depth 3
+    for h in range(4):
+        base_u = f"http://h{h}.test"
+        seed_urls.append(f"{base_u}/n0")
+        for i in range(n_tree):
+            kids = [f"{base_u}/n{c}" for c in (2 * i + 1, 2 * i + 2)
+                    if c < n_tree]
+            pages.append(page(f"{base_u}/n{i}", kids))
+    _write_web_tables(fix, pages, seed_urls)
+    cfg = CrawlConfig(max_depth=4, rate_limit=10_000)
+    eng = FrontierEngine(spark, cfg, fix,
+                         fresh_ckpt(str(tmp_path / "dis-ck")))
+    eng.explore()
+    base = [_visit_tuple_engine(r) for r in
+            eng.resolve(strategy="skeleton")
+            .orderBy("visit_rank").collect()]
+    assert len(base) == 4 * n_tree
+    got = [_visit_tuple_engine(r) for r in
+           eng.resolve(strategy="sharded", n_shards=4, shard_procs=4)
+           .orderBy("visit_rank").collect()]
+    assert got == base
+    if _has_c_kernel():
+        assert eng.timings["shard_resweeps"] == 0
+        assert len(eng.timings["shard_sweeps"]) == 4
+
+
 def test_resume_mid_crawl(spark, tmp_path):
     """Kill after 2 explore rounds, resume in a new engine instance →
     outputs identical to an uninterrupted run (FIXTURES.md inv. 6)."""
@@ -304,6 +380,17 @@ def _write_depth_trap_fixture(path: str) -> None:
         page("http://y.test/d", ["http://z.test/e"]),
         page("http://z.test/e", []),
     ]
+    _write_web_tables(path, pages, ["http://seed.test/s0"])
+
+
+def _write_web_tables(path: str, pages: list[dict],
+                      seed_urls: list[str]) -> None:
+    """Write a hand-built page list (the `page()` dict shape above) as
+    a complete web fixture dir: web_pages + zero-delay robots + seeds
+    in list order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     link_t = pa.list_(pa.struct([
         ("href", pa.string()), ("label", pa.string()),
         ("selector", pa.string()), ("element_type", pa.string()),
@@ -336,8 +423,8 @@ def _write_depth_trap_fixture(path: str) -> None:
         "crawl_delay_ms": pa.array([0] * len(hosts), pa.int64()),
     }), os.path.join(path, "robots.parquet"))
     pq.write_table(pa.table({
-        "url": ["http://seed.test/s0"],
-        "seed_rank": pa.array([0], pa.int32()),
+        "url": seed_urls,
+        "seed_rank": pa.array(range(len(seed_urls)), pa.int32()),
     }), os.path.join(path, "seeds.parquet"))
 
 
