@@ -350,7 +350,8 @@ class FrontierEngine:
                  ingest_bloom: bool = False,
                  bucketed_images_dir: str | None = None,
                  bucketed_seen: bool = False,
-                 seen_buckets: int = 64):
+                 seen_buckets: int = 64,
+                 cursor_spill_rows: int = 500_000):
         self.spark = spark
         self.cfg = cfg
         self.fixture_dir = fixture_dir
@@ -365,6 +366,17 @@ class FrontierEngine:
         self._cursor = None          # pandas (host, salt, salt_cap,
         self._fdirs = None           #   consumed, frozen_total) /
         #                                (dir, host, salt, max_frank)
+        # past `cursor_spill_rows` frozen (host, salt) groups, the
+        # cursor leaves the driver: it lives in per-round parquet and
+        # every touch (take computation, pop join, round advance)
+        # becomes a small Spark job — driver RSS stays flat no matter
+        # how many hosts ever freeze. Below the cap it stays a pandas
+        # dim with ZERO extra Spark jobs per round (the scaling
+        # denominator). One-way transition, checked after each
+        # advance; semantics identical (goldens pin both modes).
+        self.cursor_spill_rows = cursor_spill_rows
+        self._cursor_spark = False   # spilled mode active
+        self._cursor_sdf_path = None  # current cursor parquet (spilled)
         self.use_bloom = use_bloom
         # cuckoo is the deletion-capable alternative (operators/
         # cuckoo.py); both compose identically as certain-new
@@ -790,14 +802,39 @@ class FrontierEngine:
         return (os.path.join(d, f"round={rnd:05d}.parquet"),
                 os.path.join(d, f"dirs={rnd:05d}.parquet"))
 
+    @staticmethod
+    def _parquet_rows(path: str) -> int:
+        """Footer row count of a parquet file OR dir (no Spark job)."""
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            return sum(FrontierEngine._footer_rows(path).values())
+        return pq.ParquetFile(path).metadata.num_rows
+
     def _load_cursor(self, rnd: int) -> None:
         """Cursor state as persisted AFTER round ``rnd``'s frontier
         write (resume path; a pre-freeze checkpoint simply has no
-        cursor files and no sel=f dirs — empty state is correct)."""
+        cursor files and no sel=f dirs — empty state is correct).
+        A cursor past the spill cap resumes STRAIGHT into spilled
+        mode — it is never pulled onto the driver."""
         import pandas as pd
 
         cp, dp = self._cursor_paths(rnd)
         cur, fd = self._cursor_frames()
+        if (os.path.exists(cp)
+                and self._parquet_rows(cp) > self.cursor_spill_rows):
+            self._cursor_spark = True
+            self._cursor_sdf_path = cp
+            self._cursor = None
+            if os.path.exists(dp):
+                fd = pd.read_parquet(dp)
+                if "host" in fd.columns:   # pre-spill dirs registry
+                    fd = (fd.groupby("dir", as_index=False)["max_frank"]
+                          .max())
+            else:
+                fd = fd[["dir", "max_frank"]]
+            self._fdirs = fd
+            return
         if os.path.exists(cp):
             cur = pd.read_parquet(cp)
         if os.path.exists(dp):
@@ -809,6 +846,24 @@ class FrontierEngine:
         os.makedirs(os.path.dirname(cp), exist_ok=True)
         self._cursor.to_parquet(cp, index=False)
         self._fdirs.to_parquet(dp, index=False)
+
+    def _maybe_spill_cursor(self, rnd: int) -> None:
+        """One-way pandas → parquet transition once the cursor
+        outgrows the driver cap (called right after a pandas-mode
+        advance persisted round ``rnd``'s state, so the freshly
+        written file IS the spilled store)."""
+        if (self._cursor_spark or self._cursor is None
+                or len(self._cursor) <= self.cursor_spill_rows):
+            return
+        cp, _dp = self._cursor_paths(rnd)
+        self._cursor_spark = True
+        self._cursor_sdf_path = cp
+        self._cursor = None
+        self._host_caps_ = None
+        fd = self._fdirs
+        self._fdirs = (fd.groupby("dir", as_index=False)["max_frank"]
+                       .max() if fd is not None and len(fd)
+                       else self._cursor_frames()[1][["dir", "max_frank"]])
 
     def _host_salt_cap(self, host: str) -> int:
         """Driver twin of the plan's salt_cap expression (same
@@ -939,6 +994,158 @@ class FrontierEngine:
         self._cursor, self._fdirs = cur, fd
         self._save_cursor(rnd)
 
+    # ---- spilled-cursor mode: the same cursor, Spark-side ----
+
+    def _cursor_salt_cap_col(self):
+        """Plan-side twin of _host_salt_cap for NEW groups entering a
+        spilled cursor — byte-identical formula to the politeness
+        plan's cap/salt_cap expressions (the dense-frank invariant
+        cross-checks plan vs cursor every freezing round)."""
+        cap = F.coalesce(
+            F.when(F.col("crawl_delay_ms") > 0,
+                   F.greatest(F.lit(1), F.least(
+                       F.lit(self.cfg.rate_limit),
+                       (F.lit(self.cfg.batch_window_ms)
+                        / F.col("crawl_delay_ms")).cast("int")))),
+            F.lit(self.cfg.rate_limit))
+        return (F.when(cap >= self.host_salts,
+                       (cap / self.host_salts).cast("int"))
+                .otherwise(cap))
+
+    def _takes_spark(self):
+        """Spilled-mode twin of _takes: the per-(host, salt) take dim
+        as a localCheckpointed DataFrame (three consumers: the mark
+        join, the pop join, the advance) plus the driver-side scalars
+        the round needs — ONE small agg job, O(1) rows collected.
+        Returns (takes_sdf, stats); takes_sdf is None when nothing has
+        ever frozen."""
+        cur = self.spark.read.parquet(self._cursor_sdf_path)
+        t = (cur.filter(F.col("frozen_total") > 0)
+             .select("host", "salt", "consumed",
+                     F.col("frozen_total").alias("ftot"),
+                     F.least(F.col("salt_cap"),
+                             F.col("frozen_total") - F.col("consumed"))
+                     .cast("long").alias("take"))
+             .localCheckpoint())
+        pop = F.col("take") > 0
+        row = t.agg(
+            F.count("*").alias("n_groups"),
+            F.coalesce(F.sum("take"), F.lit(0)).alias("total_take"),
+            F.min(F.when(pop, F.col("consumed"))).alias("kmin"),
+            F.max(F.when(pop, F.col("consumed") + F.col("take")))
+            .alias("kmax")).collect()[0]
+        if not row["n_groups"]:
+            return None, {"total_take": 0}
+        return t, {"total_take": int(row["total_take"]),
+                   "kmin": (int(row["kmin"])
+                            if row["kmin"] is not None else 0),
+                   "kmax": (int(row["kmax"])
+                            if row["kmax"] is not None else 0)}
+
+    def _frozen_pops_spark(self, takes_sdf, stats) -> DataFrame:
+        """Spilled-mode twin of _frozen_pops: same pushed global frank
+        bounds + per-group range filter, but the cursor dim joins via
+        shuffle-hash instead of broadcast (it no longer fits the
+        driver by definition of the spill)."""
+        fd = self._fdirs
+        live = sorted(fd["dir"].unique()) if fd is not None and len(fd) \
+            else []
+        dim = (takes_sdf.filter(F.col("take") > 0)
+               .select("host", "salt", "consumed", "take"))
+        return (self.spark.read.schema(self._freeze_schema)
+                .parquet(*[os.path.join(self.ckpt, d) for d in live])
+                .filter((F.col("frank") > stats["kmin"])
+                        & (F.col("frank") <= stats["kmax"]))
+                .join(dim.hint("shuffle_hash"), ["host", "salt"])
+                .filter((F.col("frank") > F.col("consumed"))
+                        & (F.col("frank") <= F.col("consumed")
+                           + F.col("take")))
+                .select("url", "depth", "host", "salt", "frank",
+                        F.lit("b").alias("sel")))
+
+    def _advance_cursor_spark(self, rnd: int, takes_sdf,
+                              counts: dict) -> None:
+        """Spilled-mode twin of _advance_cursor: consumed += take,
+        register new freezes (salt_cap from a robots join using the
+        plan's exact formula), dense-frank invariant as a distributed
+        count, next cursor parquet written by all cores. The dirs
+        registry stays driver-side but COMPACT (one row per freeze
+        dir, global max frank) — retirement becomes conservative
+        (dir max ≤ global min consumed), which only delays retiring a
+        dir, never breaks pops: frank-bound pushdown already prunes
+        consumed row groups via footer stats."""
+        import pandas as pd
+
+        cur = self.spark.read.parquet(self._cursor_sdf_path)
+        if takes_sdf is not None:
+            cur = (cur.join(takes_sdf.select("host", "salt", "take")
+                            .hint("shuffle_hash"), ["host", "salt"],
+                            "left")
+                   .withColumn("consumed",
+                               (F.col("consumed")
+                                + F.coalesce("take", F.lit(0)))
+                               .cast("long"))
+                   .drop("take"))
+        n_f = sum(v for k, v in counts.items() if k.startswith("sel=f"))
+        cp, dp = self._cursor_paths(rnd)
+        fd = self._fdirs if self._fdirs is not None \
+            else self._cursor_frames()[1][["dir", "max_frank"]]
+        if n_f:
+            rel = os.path.join(f"frontier/round={rnd:05d}", "sel=f")
+            fdir = os.path.join(self._paths("frontier", rnd), "sel=f")
+            fc = (self.spark.read.schema(self._freeze_schema)
+                  .parquet(fdir)
+                  .groupBy("host", "salt")
+                  .agg(F.count("*").alias("cnt"),
+                       F.max("frank").alias("mx"),
+                       F.min("frank").alias("mn")))
+            froze = F.col("cnt").isNotNull()
+            ft0 = F.coalesce("frozen_total", F.lit(0).cast("long"))
+            out = (cur.join(fc, ["host", "salt"], "full_outer")
+                   .join(self.robots.select("host", "crawl_delay_ms")
+                         .hint("shuffle_hash"), "host", "left")
+                   .select(
+                       "host", "salt",
+                       F.coalesce(F.col("salt_cap"),
+                                  self._cursor_salt_cap_col()
+                                  .cast("long")).alias("salt_cap"),
+                       F.coalesce("consumed", F.lit(0).cast("long"))
+                       .alias("consumed"),
+                       F.when(froze, F.col("mx")).otherwise(ft0)
+                       .cast("long").alias("frozen_total"),
+                       froze.alias("_froze"),
+                       (froze & ((F.col("mn") != ft0 + 1)
+                                 | (F.col("mx") != ft0 + F.col("cnt"))))
+                       .alias("_bad"))
+                   .localCheckpoint())
+            row = out.agg(
+                F.coalesce(F.sum(F.col("_bad").cast("long")),
+                           F.lit(0)).alias("nbad"),
+                F.max(F.when(F.col("_froze"), F.col("frozen_total")))
+                .alias("dir_max"),
+                F.min("consumed").alias("gmin")).collect()[0]
+            if row["nbad"]:
+                raise AssertionError(
+                    f"frozen rank not dense for {int(row['nbad'])} "
+                    f"(host, salt) groups at round {rnd}")
+            (out.drop("_froze", "_bad")
+             .write.mode("overwrite").parquet(cp))
+            fd = pd.concat(
+                [fd, pd.DataFrame({"dir": [rel],
+                                   "max_frank": [int(row["dir_max"])]})],
+                ignore_index=True)
+            gmin = row["gmin"]
+        else:
+            out = cur.localCheckpoint()
+            gmin = out.agg(F.min("consumed")).collect()[0][0]
+            out.write.mode("overwrite").parquet(cp)
+        if gmin is not None and len(fd):
+            fd = fd[fd["max_frank"] > int(gmin)].reset_index(drop=True)
+        self._fdirs = fd
+        self._cursor_sdf_path = cp
+        os.makedirs(os.path.dirname(dp), exist_ok=True)
+        fd.to_parquet(dp, index=False)
+
     def _state(self) -> dict:
         """Resume state derived from the frontier table's snapshot
         manifest (NOT a side file): completed_rounds = highest
@@ -953,7 +1160,8 @@ class FrontierEngine:
 
     def _politeness_mark(self, frontier: DataFrame,
                          takes_sdf: DataFrame | None = None,
-                         bound: int | None = None) -> DataFrame:
+                         bound: int | None = None,
+                         broadcast_takes: bool = True) -> DataFrame:
         """Tag each ACTIVE frontier row with its politeness verdict for
         the NEXT round: sel='b' (within the per-host budget, fetch
         now), sel='f' (frozen — can never be overtaken, goes to the
@@ -1006,7 +1214,11 @@ class FrontierEngine:
               .withColumn("salt", p["salt"].cast("int"))
               .withColumn("salt_cap", p["salt_cap"]))
         if takes_sdf is not None:
-            df = df.join(F.broadcast(takes_sdf), ["host", "salt"], "left")
+            # spilled-cursor mode joins the take dim via shuffle-hash:
+            # past the spill cap it no longer fits a driver broadcast
+            t = (F.broadcast(takes_sdf) if broadcast_takes
+                 else takes_sdf.hint("shuffle_hash"))
+            df = df.join(t, ["host", "salt"], "left")
             eff_cap = F.col("salt_cap") - F.coalesce("take", F.lit(0))
             base = F.coalesce("ftot", F.lit(0)).cast("long")
         else:
@@ -1082,17 +1294,26 @@ class FrontierEngine:
                                         "sel=b")
                     if os.path.isdir(bdir):
                         bound = self._footer_min_depth(bdir)
-            takes = self._takes()
+            takes, tstats = None, None
             takes_sdf = None
-            if takes is not None:
-                takes_sdf = self.spark.createDataFrame(
-                    takes[["host", "salt", "take", "ftot"]])
-            out = self._politeness_mark(frontier, takes_sdf, bound)
+            if self._cursor_spark:
+                takes_sdf, tstats = self._takes_spark()
+            else:
+                takes = self._takes()
+                if takes is not None:
+                    takes_sdf = self.spark.createDataFrame(
+                        takes[["host", "salt", "take", "ftot"]])
+            out = self._politeness_mark(
+                frontier, takes_sdf, bound,
+                broadcast_takes=not self._cursor_spark)
             if takes is not None and (takes["take"] > 0).any():
                 out = out.unionByName(
                     self._frozen_pops(takes[takes["take"] > 0]))
+            elif tstats is not None and tstats["total_take"] > 0:
+                out = out.unionByName(
+                    self._frozen_pops_spark(takes_sdf, tstats))
         else:
-            takes = None
+            takes, tstats, takes_sdf = None, None, None
             out = frontier.select("url", "depth", "host",
                                   F.lit("b").alias("sel"))
         (out.write.mode("overwrite").partitionBy("sel")
@@ -1101,9 +1322,15 @@ class FrontierEngine:
         self._round_freeze = {
             "frozen": sum(v for k, v in counts.items()
                           if k.startswith("sel=f")),
-            "popped": int(takes["take"].sum()) if takes is not None else 0}
+            "popped": (int(takes["take"].sum()) if takes is not None
+                       else tstats["total_take"] if tstats is not None
+                       else 0)}
         if self.enforce_politeness and self.freeze_frontier:
-            self._advance_cursor(rnd, takes, counts)
+            if self._cursor_spark:
+                self._advance_cursor_spark(rnd, takes_sdf, counts)
+            else:
+                self._advance_cursor(rnd, takes, counts)
+                self._maybe_spill_cursor(rnd)
         # snapshot-commit the round (fast-append; per-partition
         # lineage from footers, no extra Spark job). This commit IS
         # the round's progress record — see _state().

@@ -536,6 +536,102 @@ def test_freeze_store_write_once_and_resume(spark, tmp_path):
     assert sum(m.get("frozen", 0) for m in ms) == n_rows
 
 
+def test_cursor_spill_matches_pandas(spark, tmp_path):
+    """cursor_spill_rows=0 forces the SPARK-SIDE cursor from the first
+    freezing round (the 10^8-frozen-hosts posture exercised at toy
+    scale): visits, write-once and drain invariants must be identical
+    to the driver-pandas cursor, including a mid-drain resume that
+    restores the spilled cursor straight from parquet (never loading
+    it onto the driver)."""
+    import glob
+    import json
+
+    import pandas as pd
+
+    cfg = CrawlConfig(max_depth=3, rate_limit=6)
+    ck = fresh_ckpt(str(tmp_path / "spill"))
+    eng1 = FrontierEngine(spark, cfg, FIXDIR, ck, enforce_politeness=True,
+                          cursor_spill_rows=0)
+    eng1.explore(max_rounds=8)            # interrupt mid-drain
+    assert eng1._cursor_spark, "spill never engaged — vacuous test"
+    eng2 = FrontierEngine(spark, cfg, FIXDIR, ck,
+                          enforce_politeness=True, cursor_spill_rows=0)
+    visits = eng2.run()
+    assert eng2._cursor_spark            # resume detected the spill
+    got = [_visit_tuple_engine(r)
+           for r in visits.orderBy("visit_rank").collect()]
+    exp = [_visit_tuple_oracle(v) for v in run_oracle(FIXDIR, cfg).visits]
+    assert got == exp
+
+    # write-once across the drain, and the spilled cursor fully
+    # consumed the store by crawl end
+    ffiles = glob.glob(os.path.join(ck, "frontier", "round=*", "sel=f",
+                                    "*.parquet"))
+    assert ffiles
+    fz = spark.read.parquet(*ffiles)
+    n_rows = fz.count()
+    assert n_rows == fz.select("url").distinct().count()
+    last = sorted(glob.glob(os.path.join(ck, "cursor",
+                                         "round=*.parquet")))[-1]
+    cur = pd.read_parquet(last)          # reads file OR spark dir
+    assert int(cur["frozen_total"].sum()) == n_rows
+    assert (cur["consumed"] == cur["frozen_total"]).all()
+    with open(os.path.join(ck, "metrics.jsonl")) as f:
+        ms = [json.loads(line) for line in f]
+    assert sum(m.get("frozen", 0) for m in ms) == n_rows
+    assert sum(m.get("popped", 0) for m in ms) == n_rows
+
+    # the depth-correcting admit must survive the spill too
+    fix = str(tmp_path / "spill-trap")
+    _write_depth_trap_fixture(fix)
+    cfg2 = CrawlConfig(max_depth=4, rate_limit=1)
+    eng3 = FrontierEngine(spark, cfg2, fix,
+                          fresh_ckpt(str(tmp_path / "spill-trap-ck")),
+                          enforce_politeness=True, cursor_spill_rows=0)
+    got2 = [_visit_tuple_engine(r)
+            for r in eng3.run().orderBy("visit_rank").collect()]
+    exp2 = [_visit_tuple_oracle(v) for v in run_oracle(fix, cfg2).visits]
+    assert got2 == exp2
+
+
+@pytest.mark.slow
+def test_cursor_spill_mode_equivalence_bench_web(spark, tmp_path):
+    """Deferral-heavy synthetic web (hundreds of freezing hosts):
+    pandas-cursor and spilled-cursor runs must produce the identical
+    visit set and freeze telemetry — the modes differ only in WHERE
+    the cursor lives."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from crawler_spark.sources.synth_web import generate_bench_web
+
+    web = str(tmp_path / "web-spill")
+    generate_bench_web(web, 6_000, n_hosts=200, n_seeds=32)
+    cfg = CrawlConfig(max_depth=3, rate_limit=12)
+    outs = []
+    for tag, spill in (("pandas", 10**9), ("spark", 0)):
+        ck = fresh_ckpt(str(tmp_path / f"ck-{tag}"))
+        eng = FrontierEngine(spark, cfg, web, ck,
+                             enforce_politeness=True,
+                             cursor_spill_rows=spill)
+        visits = eng.run()
+        row = (visits.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("url", "prio", "visit_rank",
+                                 "batch_id")).alias("chk")).collect()[0])
+        with open(os.path.join(ck, "metrics.jsonl")) as f:
+            ms = [json.loads(line) for line in f]
+        outs.append({"n": row["n"], "chk": row["chk"],
+                     "frozen": sum(m.get("frozen", 0) for m in ms),
+                     "popped": sum(m.get("popped", 0) for m in ms),
+                     "spilled": eng._cursor_spark})
+    assert outs[0]["spilled"] is False and outs[1]["spilled"] is True
+    assert outs[1]["frozen"] > 0
+    for k in ("n", "chk", "frozen", "popped"):
+        assert outs[0][k] == outs[1][k], (k, outs)
+
+
 def test_inloop_image_ingest_matches_oracle(spark, tmp_path):
     """In-loop image ingest (north-star core loop: fetched image bytes
     decoded/validated via Arrow UDFs with dedup INSIDE the micro-batch
