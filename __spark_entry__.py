@@ -160,9 +160,13 @@ def q_page_text_features(spark, sf_dir):
 
 
 def q_event_annotate(spark, sf_dir):
-    """E9 + E10 fused per-event projection: error-type bucketing
-    when-chain and type-dispatched action description templates
-    (merged error_categorize / action_format)."""
+    """E9 + E10 + ST6/F11 fused per-event projection: error-type
+    bucketing when-chain, type-dispatched action description
+    templates, and the console-message pattern router with its noise
+    filter carried as a flag (merged error_categorize / action_format
+    / console_router — all share the one-row-per-event grain; the
+    router's drop-filter becomes `is_noise`, the same fusion style
+    ring_buffer uses for the SO1-SO4 set algebra)."""
     e = _t(spark, sf_dir, "events")
     msg = (F.when(F.col("value") < 20, "Navigation timeout at step")
            .when(F.col("value") < 40, "HTTP 404 not found")
@@ -177,8 +181,16 @@ def q_event_annotate(spark, sf_dir):
         .when(F.col("event_type") == "signup",
               F.lit("Submitted signup form"))
         .otherwise(F.format_string("Event %s", F.col("event_type"))))
+    cmsg = F.concat(F.lit("["), F.upper("event_type"), F.lit("] value="),
+                    F.col("value").cast("string"))
+    routed = (
+        F.when(cmsg.rlike(r"^\[ERROR\]"), "error_handler")
+        .when(cmsg.rlike(r"^\[(CLICK|VIEW)\]"), "interaction_recorder")
+        .when(cmsg.rlike(r"^\[SIGNUP\]"), "form_tracker")
+        .otherwise("ignore"))
     return e.select("event_id", categorize_error(msg).alias("error_type"),
-                    desc.alias("description"))
+                    desc.alias("description"), routed.alias("route"),
+                    cmsg.rlike(r"value=4[0-9]{2}\.").alias("is_noise"))
 
 
 def q_asof_attribution(spark, sf_dir):
@@ -221,22 +233,6 @@ def q_forms_extract(spark, sf_dir):
             .select("url", F.col("f.action").alias("action"),
                     F.col("f.method").alias("method"),
                     F.size("f.fields").cast("long").alias("n_fields")))
-
-
-def q_console_router(spark, sf_dir):
-    """ST6/F11: console-message pattern router + noise filter —
-    multi-way rlike dispatch, spam lines dropped."""
-    e = _t(spark, sf_dir, "events")
-    msg = F.concat(F.lit("["), F.upper("event_type"), F.lit("] value="),
-                   F.col("value").cast("string"))
-    routed = (
-        F.when(msg.rlike(r"^\[ERROR\]"), "error_handler")
-        .when(msg.rlike(r"^\[(CLICK|VIEW)\]"), "interaction_recorder")
-        .when(msg.rlike(r"^\[SIGNUP\]"), "form_tracker")
-        .otherwise("ignore"))
-    return (e.select("event_id", msg.alias("msg"), routed.alias("route"))
-            .filter(~F.col("msg").rlike(r"value=4[0-9]{2}\."))  # noise
-            .select("event_id", "route"))
 
 
 def q_dedup_window(spark, sf_dir):
@@ -306,23 +302,16 @@ def q_training_freq(spark, sf_dir):
             .agg(F.count("*").alias("n")))
 
 
-def q_sitemap_children(spark, sf_dir):
-    """J2/J3: parent→children aggregation (nav-path building shape)."""
-    n = _t(spark, sf_dir, "nation")
-    c = _t(spark, sf_dir, "customer")
-    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-            .groupBy("n_name")
-            .agg(F.count("*").alias("n_children"),
-                 F.min("c_name").alias("first_child")))
-
-
 def q_sitemap_tree(spark, sf_dir):
     """J3 nested sitemap build (crawler-engine.ts:1760-1781
     buildSitemap): root at startUrl, children where parent_url ==
     node.url, recursion bounded by maxDepth — here ≤max_depth
     iterative level joins over a synthetic decimal-digit page tree
     derived from `part` (url p<k>, parent p<k//10>, digits as
-    levels). Oracle: the same recursion as a DuckDB recursive CTE."""
+    levels). The J2 parent→children aggregation rides along fused
+    (n_children + first_child per node — same per-parent groupBy the
+    nav-path builder needs). Oracle: the same recursion as a DuckDB
+    recursive CTE."""
     from crawler_spark.operators.sitemap import sitemap_tree
     p = _t(spark, sf_dir, "part")
     pages = p.select(
@@ -335,7 +324,7 @@ def q_sitemap_tree(spark, sf_dir):
     return (sitemap_tree(pages, "root", max_depth=6)
             .select("url", "title",
                     F.col("tree_depth").cast("long").alias("tree_depth"),
-                    "path", "n_children"))
+                    "path", "n_children", "first_child"))
 
 
 # ---------------------------------------------------------------------------
@@ -749,8 +738,11 @@ def q_lsh_ann(spark, sf_dir):
 def q_ivf_ann(spark, sf_dir):
     """IVF approximate top-k: deterministic coarse quantizer (hashed
     seed sample + distributed Lloyd iterations), inverted lists keyed
-    by centroid, nprobe-bucket search. No SQL oracle (hash-seeded
-    centroids); recall + determinism pinned in
+    by centroid, nprobe-bucket search. Hash-seeded centroids are not
+    SQL-expressible, so the oracle is committed GOLDEN PARQUET from
+    the independent numpy twin (tools/gen_golden_oracles.py:
+    gen_ivf_ann) and the driver hash-checks it like any SQL oracle;
+    recall + determinism are additionally pinned in
     tests/test_dedup_text.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return (ivf_topk(emb, k=5, n_centroids=16, nprobe=4)
@@ -866,6 +858,62 @@ def q_frame_sample(spark, sf_dir):
         F.col("n_frames").cast("long").alias("n_frames"),
         F.col("frame_w").cast("long").alias("frame_w"),
         F.col("frame_h").cast("long").alias("frame_h"))
+
+
+def q_session_pacing(spark, sf_dir):
+    """P2 + P3 fused at the action grain: the deterministic
+    human-pacing schedule (xxhash64-lane think/typing delays with the
+    reference's distributions and per-session cumulative start
+    offsets, functions/humanize.py) plus the stealth session identity
+    (UA-rotation + viewport-jitter lanes, functions/stealth.py) —
+    every action row carries its session's fetch identity, the shape
+    a fetch-time simulation consumes. Hash-seeded lanes are not
+    SQL-expressible, so the oracle is committed golden parquet from
+    the pure-Python xxhash64 twin (crawler_spark/oracle/
+    pacing_oracle.py via tools/gen_golden_oracles.py); Spark↔twin
+    bit-parity is additionally pinned in tests/test_pacing_parity.py."""
+    from crawler_spark.functions.humanize import humanize_schedule
+    from crawler_spark.functions.stealth import session_context
+    e = _t(spark, sf_dir, "events")
+    actions = e.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string"))
+        .alias("session_id"),
+        F.col("event_id").cast("long").alias("action_index"),
+        F.when(F.col("event_type") == "signup", F.lit("type"))
+        .otherwise(F.col("event_type")).alias("action_type"),
+        F.when(F.col("event_type") == "signup", F.col("props"))
+        .alias("text"))
+    out = session_context(humanize_schedule(actions))
+    return out.select(
+        "session_id", "action_index", "delay_ms", "type_ms",
+        "start_offset_ms", "user_agent",
+        F.col("viewport_w").cast("long").alias("viewport_w"),
+        F.col("viewport_h").cast("long").alias("viewport_h"))
+
+
+def q_frame_serve(spark, sf_dir):
+    """S9 frame stream over the driver tables: every `view` event is
+    a rendered preview frame (frame timestamp from the event's value
+    column so per-session poll grids stay bounded), served on the
+    reference's 3 s poll cadence — newest-frame-per-poll last-writer-
+    wins plus forward-fill re-serving across empty windows
+    (streaming/frames.py). Fully SQL-expressible: the DuckDB oracle
+    recomputes the windowed max, the dense poll grid and the IGNORE
+    NULLS forward fill."""
+    from crawler_spark.streaming.frames import frame_stream
+    e = _t(spark, sf_dir, "events")
+    frames = (e.filter(F.col("event_type") == "view")
+              .select(F.concat(F.lit("u"), F.col("user_id").cast("string"))
+                      .alias("session_id"),
+                      F.col("event_id").alias("frame_id"),
+                      F.floor(F.col("value") * 1000).cast("long")
+                      .alias("ts_ms")))
+    return (frame_stream(frames)
+            .select("session_id",
+                    F.col("poll_tick").cast("long").alias("poll_tick"),
+                    F.col("frame_id").cast("long").alias("frame_id"),
+                    F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+                    F.col("age_polls").cast("long").alias("age_polls")))
 
 
 # ---------------------------------------------------------------------------
@@ -1042,15 +1090,15 @@ def q_login_outcome(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered so every query whose correctness signal matters most
-    sits inside the driver's 50-row check window (CORRECTNESS_r02 had
-    exactly 50 entries for 56 registered queries — the last six were
-    silently dropped): the engine crawl + its golden-parquet oracle
-    first, then the multimodal image/audio/video family, the
-    ex-rows-only sketch queries, and every join/agg/window query. The
-    7-entry tail holds single-table pure-expression queries (F6/F7/
-    E7/E9/E10/F11/A8) that were driver-green in round 2, are unchanged
-    since, and stay covered by tools/check_oracle.py + pytest."""
+    """Exactly 50 entries — the driver's correctness check window is
+    50 rows (CORRECTNESS_r02 silently dropped entries past 50), so
+    thin same-grain queries are FUSED rather than appended: doc_stats
+    carries quality/token-counts/fingerprint/lang-id, ring_buffer
+    carries the SO1-SO4 set algebra, event_annotate carries the
+    ST6/F11 console router, sitemap_tree carries the J2 parent→
+    children agg, and session_pacing carries P2 pacing + P3 stealth.
+    Every entry here is driver-checked (rows+schema+hash) against
+    oracle_sql(); CORRECTNESS_r03 was 50/50 green."""
     return {
         # the engine itself + the two formerly hash-failing rollups
         "frontier_crawl": q_frontier_crawl,
@@ -1063,18 +1111,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_thumbnail": q_image_thumbnail,
         "audio_features": q_audio_features,
         "frame_sample": q_frame_sample,
-        # hash-seeded sketches (golden-parquet oracles)
+        # hash-seeded sketches + lanes (golden-parquet oracles)
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "winnow": q_winnow,
         "ivf_ann": q_ivf_ann,
+        "session_pacing": q_session_pacing,
+        # frame stream (S9, full SQL oracle)
+        "frame_serve": q_frame_serve,
         # crawl-core operator analogs (SURVEY.md §2)
         "url_canonicalize": q_url_canonicalize,
         "seen_anti_join": q_seen_anti_join,
         "politeness_budget": q_politeness_budget,
         "first_match_scan": q_first_match_scan,
         "sitemap_tree": q_sitemap_tree,
-        "sitemap_children": q_sitemap_children,
         # record-mode / HTML families (§2.8-2.9)
         "modal_lifecycle": q_modal_lifecycle,
         "rules_merge": q_rules_merge,
@@ -1098,7 +1148,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forms_extract": q_forms_extract,
         "page_text_features": q_page_text_features,
         "event_annotate": q_event_annotate,
-        "console_router": q_console_router,
         "ring_buffer": q_ring_buffer,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
@@ -1255,8 +1304,17 @@ SELECT event_id,
             WHEN event_type = 'view'
                  THEN printf('Viewed page for %.2f units', round(value,2))
             WHEN event_type = 'signup' THEN 'Submitted signup form'
-            ELSE printf('Event %s', event_type) END AS description
-FROM events
+            ELSE printf('Event %s', event_type) END AS description,
+       CASE WHEN regexp_matches(msg, '^\\[ERROR\\]') THEN 'error_handler'
+            WHEN regexp_matches(msg, '^\\[(CLICK|VIEW)\\]')
+                 THEN 'interaction_recorder'
+            WHEN regexp_matches(msg, '^\\[SIGNUP\\]') THEN 'form_tracker'
+            ELSE 'ignore' END AS route,
+       regexp_matches(msg, 'value=4[0-9]{2}\\.') AS is_noise
+FROM (SELECT *,
+             '[' || upper(event_type) || '] value=' || CAST(value AS VARCHAR)
+                 AS msg
+      FROM events)
 """,
         "asof_attribution": """
 SELECT event_id, last_action_type FROM (
@@ -1273,19 +1331,6 @@ SELECT url, f.action AS action, f.method AS method,
        CAST(len(f.fields) AS BIGINT) AS n_fields
 FROM (SELECT url, unnest(forms) AS f
       FROM read_parquet('{_WEB_FIXTURES}'))
-""",
-        "console_router": """
-SELECT event_id,
-       CASE WHEN regexp_matches(msg, '^\\[ERROR\\]') THEN 'error_handler'
-            WHEN regexp_matches(msg, '^\\[(CLICK|VIEW)\\]')
-                 THEN 'interaction_recorder'
-            WHEN regexp_matches(msg, '^\\[SIGNUP\\]') THEN 'form_tracker'
-            ELSE 'ignore' END AS route
-FROM (SELECT event_id,
-             '[' || upper(event_type) || '] value=' || CAST(value AS VARCHAR)
-                 AS msg
-      FROM events)
-WHERE NOT regexp_matches(msg, 'value=4[0-9]{2}\\.')
 """,
         "modal_scoring": """
 WITH scored AS (
@@ -1346,11 +1391,6 @@ SELECT event_type,
        count(*) AS n
 FROM events GROUP BY 1, 2
 """,
-        "sitemap_children": """
-SELECT n_name, count(*) AS n_children, min(c_name) AS first_child
-FROM customer JOIN nation ON c_nationkey = n_nationkey
-GROUP BY n_name
-""",
         "sitemap_tree": """
 WITH RECURSIVE pages AS (
   SELECT 'p' || p_partkey AS url,
@@ -1358,8 +1398,9 @@ WITH RECURSIVE pages AS (
               ELSE 'p' || (p_partkey // 10) END AS parent_url,
          p_name AS title
   FROM part),
-counts AS (SELECT parent_url AS url, count(*) AS n_children
-           FROM pages GROUP BY 1),
+counts AS (SELECT p.parent_url AS url, count(*) AS n_children,
+                  min(p.url) AS first_child
+           FROM pages p GROUP BY 1),
 tree AS (
   SELECT 'root' AS url, CAST(NULL AS VARCHAR) AS title,
          0 AS tree_depth, 'root' AS path
@@ -1368,7 +1409,8 @@ tree AS (
   FROM pages p JOIN tree t ON p.parent_url = t.url
   WHERE t.tree_depth < 6)
 SELECT t.url, t.title, CAST(t.tree_depth AS BIGINT) AS tree_depth, t.path,
-       CAST(coalesce(c.n_children, 0) AS BIGINT) AS n_children
+       CAST(coalesce(c.n_children, 0) AS BIGINT) AS n_children,
+       c.first_child AS first_child
 FROM tree t LEFT JOIN counts c ON c.url = t.url
 """,
         "modal_lifecycle": """
@@ -1866,14 +1908,48 @@ SELECT 'v' || s_suppkey AS video_id,
        CAST(6 AS BIGINT) AS frame_h
 FROM supplier
 """,
+        "frame_serve": """
+WITH fr AS (
+  SELECT 'u' || user_id AS session_id, event_id AS frame_id,
+         CAST(floor(value * 1000) AS BIGINT) AS ts_ms
+  FROM events WHERE event_type = 'view'),
+pw AS (
+  SELECT session_id, poll_tick, frame_id AS new_frame_id,
+         ts_ms AS new_frame_ts
+  FROM (SELECT *, ts_ms // 3000 AS poll_tick,
+               row_number() OVER (PARTITION BY session_id, ts_ms // 3000
+                                  ORDER BY ts_ms DESC, frame_id DESC)
+                   AS rn
+        FROM fr) WHERE rn = 1),
+grid AS (
+  SELECT session_id, unnest(range(t0, t1 + 1)) AS poll_tick
+  FROM (SELECT session_id, min(poll_tick) AS t0, max(poll_tick) AS t1
+        FROM pw GROUP BY 1)),
+served AS (
+  SELECT g.session_id, g.poll_tick,
+         last_value(p.new_frame_id IGNORE NULLS) OVER w AS frame_id,
+         last_value(p.new_frame_ts IGNORE NULLS) OVER w AS frame_ts_ms,
+         g.poll_tick - last_value(
+             CASE WHEN p.new_frame_id IS NOT NULL THEN g.poll_tick END
+             IGNORE NULLS) OVER w AS age_polls
+  FROM grid g LEFT JOIN pw p USING (session_id, poll_tick)
+  WINDOW w AS (PARTITION BY g.session_id ORDER BY g.poll_tick
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT session_id, CAST(poll_tick AS BIGINT) AS poll_tick,
+       CAST(frame_id AS BIGINT) AS frame_id,
+       CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms,
+       CAST(age_polls AS BIGINT) AS age_polls
+FROM served
+""",
         # minhash_lsh / simhash_pairs / winnow / ivf_ann /
-        # frontier_crawl: hash-seeded chains and sequential-DFS order
-        # that DuckDB SQL can't express directly. Their oracles are
-        # GOLDEN PARQUET generated by the independent pure-Python
-        # replicas (crawler_spark/oracle/*, no Spark imports) via
-        # tools/gen_golden_oracles.py over the fixed seed-42 sf0.01
-        # tables + t-smoke fixture — the same pattern image_thumbnail
-        # uses for its precomputed luma. Regenerate with:
+        # session_pacing / frontier_crawl: hash-seeded chains and
+        # sequential-DFS order that DuckDB SQL can't express directly.
+        # Their oracles are GOLDEN PARQUET generated by the
+        # independent pure-Python replicas (crawler_spark/oracle/*,
+        # no Spark imports) via tools/gen_golden_oracles.py over the
+        # fixed seed-42 sf0.01 tables + t-smoke fixture — the same
+        # pattern image_thumbnail uses for its precomputed luma.
+        # Regenerate with:
         #   python tools/gen_golden_oracles.py
         "minhash_lsh": f"""
 SELECT id_a, id_b, est_jaccard
@@ -1890,6 +1966,11 @@ FROM read_parquet('{_GOLDEN("winnow")}')
         "ivf_ann": f"""
 SELECT qid, nid, rank, cos_e4
 FROM read_parquet('{_GOLDEN("ivf_ann")}')
+""",
+        "session_pacing": f"""
+SELECT session_id, action_index, delay_ms, type_ms, start_offset_ms,
+       user_agent, viewport_w, viewport_h
+FROM read_parquet('{_GOLDEN("session_pacing")}')
 """,
         "frontier_crawl": f"""
 SELECT visit_rank, url, depth, status_code, batch_id

@@ -57,7 +57,11 @@ def humanize_schedule(actions: DataFrame,
              + (_unit(sid, idx, F.lit("delay"))
                 * F.lit(max_ms - min_ms)).cast("long"))
 
-    has_text = (F.col("action_type") == "type") & F.col("text").isNotNull()
+    # length > 0 matters: F.sequence(1, 0) yields a DESCENDING [1, 0]
+    # (not an empty array), which would charge an empty text two
+    # phantom keystrokes
+    has_text = ((F.col("action_type") == "type")
+                & F.col("text").isNotNull() & (F.length("text") > 0))
     chars = F.sequence(F.lit(1), F.length("text"))
     per_char = F.transform(
         chars,

@@ -24,15 +24,19 @@ def sitemap_tree(pages: DataFrame, root_url: str,
                  max_depth: int = 10) -> DataFrame:
     """pages: (url, parent_url, title). Returns every node reachable
     from root_url through parent_url edges within max_depth:
-    (url, title, tree_depth, path, n_children). The root row carries
-    tree_depth 0, a NULL title (the reference's root node has no
-    page row) and path == root_url; child paths are
+    (url, title, tree_depth, path, n_children, first_child). The root
+    row carries tree_depth 0, a NULL title (the reference's root node
+    has no page row) and path == root_url; child paths are
     'parent_path > url' — a unique materialized path since a crawl
-    tree has one parent per page."""
+    tree has one parent per page. n_children/first_child is the fused
+    J2 parent→children aggregation (nav-path building,
+    crawler-engine.ts:1760-1781's children arrays) — the same
+    per-parent groupBy either way, so J2 and J3 share one scan."""
     spark = pages.sparkSession
     edges = pages.select("url", "parent_url", "title")
     counts = (edges.groupBy(F.col("parent_url").alias("url"))
-              .agg(F.count("*").alias("n_children")))
+              .agg(F.count("*").alias("n_children"),
+                   F.min("url").alias("first_child")))
     schema = T.StructType([
         T.StructField("url", T.StringType()),
         T.StructField("title", T.StringType()),
@@ -64,4 +68,5 @@ def sitemap_tree(pages: DataFrame, root_url: str,
     return (tree.join(counts, "url", "left")
             .withColumn("n_children",
                         F.coalesce("n_children", F.lit(0)).cast("long"))
-            .select("url", "title", "tree_depth", "path", "n_children"))
+            .select("url", "title", "tree_depth", "path", "n_children",
+                    "first_child"))

@@ -229,6 +229,48 @@ def gen_image_phash_dedup(max_hamming: int = 10) -> pa.Table:
         "n_dups": pa.array([len(ids) - n_clusters], pa.int64())})
 
 
+def gen_session_pacing(sf: str) -> pa.Table:
+    """P2+P3 fused driver query twin: actions derived from events
+    exactly as __spark_entry__.q_session_pacing derives them
+    (session u<user_id>, action_index event_id, signup → a `type`
+    action over its props json), paced and identity-assigned by the
+    pure-Python xxhash64 replicas (crawler_spark/oracle/
+    pacing_oracle.py — Spark↔twin bit-parity pinned in
+    tests/test_pacing_parity.py)."""
+    from crawler_spark.oracle.pacing_oracle import (USER_AGENTS,
+                                                    session_pacing_rows)
+
+    t = pq.read_table(os.path.join(sf, "events.parquet"),
+                      columns=["event_id", "user_id", "event_type",
+                               "props"])
+    actions = []
+    for eid, uid, typ, props in zip(t.column("event_id").to_pylist(),
+                                    t.column("user_id").to_pylist(),
+                                    t.column("event_type").to_pylist(),
+                                    t.column("props").to_pylist()):
+        actions.append((f"u{uid}", int(eid),
+                        "type" if typ == "signup" else typ,
+                        props if typ == "signup" else None))
+    rows = session_pacing_rows(actions, USER_AGENTS)
+    rows.sort(key=lambda r: (r["session_id"], r["action_index"]))
+    return pa.table({
+        "session_id": pa.array([r["session_id"] for r in rows],
+                               pa.string()),
+        "action_index": pa.array([r["action_index"] for r in rows],
+                                 pa.int64()),
+        "delay_ms": pa.array([r["delay_ms"] for r in rows], pa.int64()),
+        "type_ms": pa.array([r["type_ms"] for r in rows], pa.int64()),
+        "start_offset_ms": pa.array([r["start_offset_ms"] for r in rows],
+                                    pa.int64()),
+        "user_agent": pa.array([r["user_agent"] for r in rows],
+                               pa.string()),
+        "viewport_w": pa.array([r["viewport_w"] for r in rows],
+                               pa.int64()),
+        "viewport_h": pa.array([r["viewport_h"] for r in rows],
+                               pa.int64()),
+    })
+
+
 def gen_frontier_crawl() -> pa.Table:
     """Sequential reference-simulator crawl of the t-smoke fixture at
     the contract config (max_depth=3, rate_limit=100, 60 s batch
@@ -259,6 +301,7 @@ def main() -> int:
         ("simhash_pairs", gen_simhash_pairs(args.sf)),
         ("minhash_lsh", gen_minhash_lsh(args.sf)),
         ("ivf_ann", gen_ivf_ann(args.sf)),
+        ("session_pacing", gen_session_pacing(args.sf)),
         ("image_phash_dedup", gen_image_phash_dedup()),
         ("frontier_crawl", gen_frontier_crawl()),
     ]:
