@@ -243,25 +243,54 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
 
+    corpus = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_CORPUS", "") != "1":
+        # the composed end-to-end LLM-corpus pipeline (features →
+        # exact dedup → MinHash CC → canonical docs + embedding
+        # clusters, jobs/corpus_job.py) — tracked so regressions in
+        # the one composed artifact show up in BENCH_rNN diffs
+        import shutil
+
+        from jobs.corpus_job import run_corpus
+        corpus_out = "/tmp/crawler_spark_bench/corpus"
+        shutil.rmtree(corpus_out, ignore_errors=True)
+        t0 = time.time()
+        cstats = run_corpus(
+            spark, os.path.join(SF_DIR, "documents.parquet"), corpus_out,
+            embeddings=os.path.join(SF_DIR, "embeddings.parquet"),
+            cosine_threshold=0.3)
+        corpus = {"sec": round(time.time() - t0, 2), **cstats}
+        print(f"# corpus: {corpus}", file=sys.stderr)
+
     frontier = {}
     if os.environ.get("SPARK_GRAFT_SKIP_FRONTIER", "") != "1":
         # image ingest ON by default: the in-loop decode/dedup/commit
         # path is a first-class part of the engine's per-round work
         # (disable with SPARK_GRAFT_INGEST_IMAGES=0 to time the pure
         # link frontier)
+        # sharded resolve timed alongside by default so BENCH_rNN
+        # tracks the parallel per-shard sweep walls (shard_sweeps =
+        # per-worker seconds, concurrent; dfs_sweep = wall) — disable
+        # with SPARK_GRAFT_BENCH_SHARDED=0
         frontier = run_frontier_bench(
             spark,
+            also_sharded=os.environ.get(
+                "SPARK_GRAFT_BENCH_SHARDED", "1") == "1",
             ingest_images=os.environ.get(
                 "SPARK_GRAFT_INGEST_IMAGES", "1") == "1")
         print(f"# frontier: {frontier}", file=sys.stderr)
 
     out = {
         "metric": "headline query suite + frontier crawl wall time",
+        # value keeps its r01-r03 definition (queries + frontier) so
+        # round-over-round comparisons stay apples-to-apples; the
+        # corpus pipeline is tracked as its own key
         "value": round(total + float(frontier.get("sec", 0.0)), 3),
         "unit": "sec",
         "queries": times,
         "sf": SF_DIR,
         "frontier": frontier,
+        "corpus": corpus,
         "cpus": CPUS,
     }
     print(json.dumps(out))

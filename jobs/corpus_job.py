@@ -40,6 +40,75 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def run_corpus(spark, docs_path: str, out: str,
+               embeddings: str | None = None, images: str | None = None,
+               minhash_threshold: float = 0.5,
+               cosine_threshold: float = 0.95, max_hamming: int = 10,
+               min_quality: int = 0) -> dict:
+    """The pipeline body, importable so bench.py can time it in the
+    same session (a `corpus` regression number per round) — stats
+    dict identical to the CLI's stdout line."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.cluster import (embedding_dedup,
+                                                 minhash_dedup)
+    from crawler_spark.operators.textstats import (doc_fingerprint, lang_id,
+                                                   quality_score,
+                                                   subword_count, token_count)
+
+    stats: dict[str, int] = {}
+    docs = spark.read.parquet(docs_path)
+    stats["docs_in"] = docs.count()
+
+    # 1. features (one projection), 2. exact dedup on the fingerprint
+    feat = (docs
+            .withColumn("lang", lang_id("text"))
+            .withColumn("quality", quality_score("text"))
+            .withColumn("tokens", token_count("text"))
+            .withColumn("subwords", subword_count("text"))
+            .withColumn("fingerprint", doc_fingerprint("text")))
+    if min_quality:
+        feat = feat.filter(F.col("quality") >= min_quality)
+    exact_keep = (feat.groupBy("fingerprint")
+                  .agg(F.min("doc_id").alias("doc_id")))
+    feat = feat.join(exact_keep, ["fingerprint", "doc_id"])
+    stats["docs_after_exact"] = feat.count()
+
+    # 3. near-dup clusters -> canonical corpus
+    deduped = minhash_dedup(feat, threshold=minhash_threshold)
+    (deduped.select("doc_id", "canonical_id")
+     .write.mode("overwrite").parquet(os.path.join(out, "doc_clusters")))
+    canon = deduped.filter("is_canonical").drop("canonical_id",
+                                                "is_canonical")
+    canon.write.mode("overwrite").parquet(os.path.join(out, "docs"))
+    stats["docs_canonical"] = canon.count()
+
+    if embeddings:
+        emb = spark.read.parquet(embeddings)
+        ve = embedding_dedup(emb, threshold=cosine_threshold)
+        (ve.select("vec_id", "canonical_id", "is_canonical")
+         .write.mode("overwrite")
+         .parquet(os.path.join(out, "vec_clusters")))
+        stats["vecs_in"] = emb.count()
+        stats["vecs_canonical"] = ve.filter("is_canonical").count()
+
+    if images:
+        from crawler_spark.operators.images import (decode_and_phash,
+                                                    phash_dedup)
+        imgs = spark.read.parquet(images)
+        if "phash" not in imgs.columns:
+            # raw bytes table — decode and hash in Arrow batches first
+            imgs = (decode_and_phash(imgs).filter("dec_ok")
+                    .withColumnRenamed("phash_dec", "phash"))
+        ie = phash_dedup(imgs, max_hamming=max_hamming)
+        (ie.select("image_id", "canonical_id", "is_canonical")
+         .write.mode("overwrite")
+         .parquet(os.path.join(out, "image_clusters")))
+        stats["images_in"] = imgs.count()
+        stats["images_canonical"] = ie.filter("is_canonical").count()
+    return stats
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", required=True)
@@ -55,14 +124,6 @@ def main() -> None:
                     help="local-mode cores; 0 = use spark-submit's master")
     args = ap.parse_args()
 
-    from pyspark.sql import functions as F
-
-    from crawler_spark.operators.cluster import (embedding_dedup,
-                                                 minhash_dedup)
-    from crawler_spark.operators.textstats import (doc_fingerprint, lang_id,
-                                                   quality_score,
-                                                   subword_count, token_count)
-
     if args.cores:
         from crawler_spark.plans.session import get_spark
         spark = get_spark("corpus", cores=args.cores,
@@ -71,57 +132,12 @@ def main() -> None:
         from pyspark.sql import SparkSession
         spark = SparkSession.builder.appName("corpus").getOrCreate()
 
-    stats: dict[str, int] = {}
-    docs = spark.read.parquet(args.docs)
-    stats["docs_in"] = docs.count()
-
-    # 1. features (one projection), 2. exact dedup on the fingerprint
-    feat = (docs
-            .withColumn("lang", lang_id("text"))
-            .withColumn("quality", quality_score("text"))
-            .withColumn("tokens", token_count("text"))
-            .withColumn("subwords", subword_count("text"))
-            .withColumn("fingerprint", doc_fingerprint("text")))
-    if args.min_quality:
-        feat = feat.filter(F.col("quality") >= args.min_quality)
-    exact_keep = (feat.groupBy("fingerprint")
-                  .agg(F.min("doc_id").alias("doc_id")))
-    feat = feat.join(exact_keep, ["fingerprint", "doc_id"])
-    stats["docs_after_exact"] = feat.count()
-
-    # 3. near-dup clusters -> canonical corpus
-    deduped = minhash_dedup(feat, threshold=args.minhash_threshold)
-    (deduped.select("doc_id", "canonical_id")
-     .write.mode("overwrite").parquet(os.path.join(args.out, "doc_clusters")))
-    canon = deduped.filter("is_canonical").drop("canonical_id",
-                                                "is_canonical")
-    canon.write.mode("overwrite").parquet(os.path.join(args.out, "docs"))
-    stats["docs_canonical"] = canon.count()
-
-    if args.embeddings:
-        emb = spark.read.parquet(args.embeddings)
-        ve = embedding_dedup(emb, threshold=args.cosine_threshold)
-        (ve.select("vec_id", "canonical_id", "is_canonical")
-         .write.mode("overwrite")
-         .parquet(os.path.join(args.out, "vec_clusters")))
-        stats["vecs_in"] = emb.count()
-        stats["vecs_canonical"] = ve.filter("is_canonical").count()
-
-    if args.images:
-        from crawler_spark.operators.images import (decode_and_phash,
-                                                    phash_dedup)
-        imgs = spark.read.parquet(args.images)
-        if "phash" not in imgs.columns:
-            # raw bytes table — decode and hash in Arrow batches first
-            imgs = (decode_and_phash(imgs).filter("dec_ok")
-                    .withColumnRenamed("phash_dec", "phash"))
-        ie = phash_dedup(imgs, max_hamming=args.max_hamming)
-        (ie.select("image_id", "canonical_id", "is_canonical")
-         .write.mode("overwrite")
-         .parquet(os.path.join(args.out, "image_clusters")))
-        stats["images_in"] = imgs.count()
-        stats["images_canonical"] = ie.filter("is_canonical").count()
-
+    stats = run_corpus(spark, args.docs, args.out,
+                       embeddings=args.embeddings, images=args.images,
+                       minhash_threshold=args.minhash_threshold,
+                       cosine_threshold=args.cosine_threshold,
+                       max_hamming=args.max_hamming,
+                       min_quality=args.min_quality)
     print(json.dumps(stats))
 
 
