@@ -116,7 +116,8 @@ def _bands(col, n_bands: int = 16):
 def phash_candidate_pairs(images: DataFrame, max_hamming: int = 10,
                           id_col: str = "image_id",
                           phash_col: str = "phash",
-                          n_bands: int = 16) -> DataFrame:
+                          n_bands: int = 16,
+                          band_errors: int = 0) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b, hamming ≤ max_hamming).
 
     Band join with n_bands equal slices: if every band differed the
@@ -124,20 +125,45 @@ def phash_candidate_pairs(images: DataFrame, max_hamming: int = 10,
     n_bands - 1 collides on ≥ 1 band — recall is EXACT for
     max_hamming ≤ n_bands - 1 (default 16 bands ⇒ exact ≤ 15). The
     hamming filter (`bit_count(a^b)`) then cuts false candidates.
-    Narrower bands buy recall at the cost of more candidates —
-    at 10^10 images drop to 8 bands (exact ≤ 7) or add a second
-    shifted banding pass. Native ops only; the self-join shuffles on
-    (band_id, band_value)."""
-    if max_hamming > n_bands - 1:
+
+    ``band_errors=1`` extends the exact bound past the band count
+    WITHOUT narrower bands: side A additionally emits every
+    single-bit flip of each band value (width+1 keys per band,
+    one-sided so the cost is additive, not squared), so two hashes
+    collide on a band whenever that band's hamming is ≤ 1 — by
+    pigeonhole a pair with total hamming ≤ 2·n_bands - 1 must have
+    such a band. 16 bands ⇒ exact ≤ 31; 8 bands ⇒ exact ≤ 15 at
+    half the shuffle key width. (A merely SHIFTED second banding
+    pass does NOT buy exactness — one differing bit per aligned band
+    can simultaneously cover every shifted band — which is why the
+    1-error flip family is the scale knob; recall over the whole
+    (n_bands, band_errors, max_hamming) space is pinned in
+    tests/test_images.py.) At 10^10 images: 8 bands + band_errors=1
+    keeps exact ≤ 15 with 8-way band keys and 72 index rows/image.
+    Native ops only; the self-join shuffles on (band_id, band_val)."""
+    exact_bound = n_bands * (band_errors + 1) - 1
+    if max_hamming > exact_bound:
         raise ValueError(f"recall not exact: max_hamming {max_hamming} "
-                         f"> n_bands-1 ({n_bands - 1})")
+                         f"> {exact_bound} (n_bands={n_bands}, "
+                         f"band_errors={band_errors})")
+    width = 64 // n_bands
     sides = images.select(F.col(id_col).alias("id"),
                           F.col(phash_col).alias("ph"))
     banded = sides.select(
         "id", "ph",
         F.posexplode(F.array(*_bands(F.col("ph"), n_bands)))
         .alias("band_id", "band_val"))
-    a = banded.select(F.col("id").alias("id_a"), F.col("ph").alias("ph_a"),
+    if band_errors == 0:
+        a_keys = banded
+    elif band_errors == 1:
+        flips = F.array(*([F.col("band_val")]
+                          + [F.col("band_val").bitwiseXOR(F.lit(1 << i))
+                             for i in range(width)]))
+        a_keys = banded.select("id", "ph", "band_id",
+                               F.explode(flips).alias("band_val"))
+    else:
+        raise ValueError("band_errors must be 0 or 1")
+    a = a_keys.select(F.col("id").alias("id_a"), F.col("ph").alias("ph_a"),
                       "band_id", "band_val")
     b = banded.select(F.col("id").alias("id_b"), F.col("ph").alias("ph_b"),
                       "band_id", "band_val")

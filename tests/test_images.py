@@ -132,3 +132,73 @@ def test_png_roundtrip_exact():
     assert np.array_equal(decode_image(png_encode(px), "png"), px)
     assert psnr(px, px) == float("inf")
     assert phash64(px) == phash64(px.copy())
+
+
+def _brute_pairs(hashes: dict[int, int], h: int) -> set[tuple[int, int]]:
+    ids = sorted(hashes)
+    return {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin(hashes[a] ^ hashes[b]).count("1") <= h}
+
+
+def _adversarial_hashes(n_bands: int, h: int, rng) -> dict[int, int]:
+    """Random 64-bit hashes PLUS engineered worst-case near-pairs:
+    partners at exactly hamming h with the differing bits spread as
+    evenly as possible across bands (one per band first, then a
+    second bit per band) — the spread that defeats banding soonest,
+    and (for the band_errors=1 family) also the one-differing-bit-
+    per-aligned-band pattern that a merely shifted second banding
+    pass provably misses."""
+    width = 64 // n_bands
+    hashes = {}
+    nid = 0
+    for _ in range(25):
+        base = rng.getrandbits(64)
+        hashes[nid] = base
+        # partner at exactly h bits: round-robin one bit per band,
+        # varying in-band offsets so flips hit distinct positions
+        flip = base
+        for k in range(h):
+            band = k % n_bands
+            off = (k // n_bands + k) % width
+            flip ^= 1 << (band * width + off)
+        hashes[nid + 1] = flip
+        nid += 2
+    for _ in range(30):  # background noise
+        hashes[nid] = rng.getrandbits(64)
+        nid += 1
+    return hashes
+
+
+@pytest.mark.parametrize("n_bands,band_errors", [(16, 0), (8, 0),
+                                                 (8, 1), (16, 1)])
+def test_phash_banding_recall_exact(spark, n_bands, band_errors):
+    """Property: candidate recall is EXACT over the whole documented
+    (n_bands, band_errors) parameter space up to each family's bound
+    (n_bands·(band_errors+1) - 1), including adversarial bit spreads
+    — the 10^10-images parameterization (8 bands, band_errors=1,
+    exact ≤ 15) is pinned here. Beyond the bound the guard raises."""
+    import random
+
+    from crawler_spark.operators.images import phash_candidate_pairs
+
+    bound = n_bands * (band_errors + 1) - 1
+    rng = random.Random(1000 * n_bands + band_errors)
+    for h in sorted({1, n_bands - 1, bound}):
+        hashes = _adversarial_hashes(n_bands, h, rng)
+        df = spark.createDataFrame(
+            [(i, v - (1 << 64) if v >= (1 << 63) else v)
+             for i, v in hashes.items()],
+            "image_id long, phash long")
+        got = {(r["id_a"], r["id_b"])
+               for r in phash_candidate_pairs(
+                   df, max_hamming=h, n_bands=n_bands,
+                   band_errors=band_errors).collect()}
+        exp = _brute_pairs(hashes, h)
+        assert got == exp, (n_bands, band_errors, h,
+                            len(got), len(exp))
+        assert exp, "no pairs at bound — vacuous"
+    with pytest.raises(ValueError):
+        phash_candidate_pairs(spark.range(0).selectExpr(
+            "id as image_id", "id as phash"),
+            max_hamming=bound + 1, n_bands=n_bands,
+            band_errors=band_errors)
