@@ -627,9 +627,11 @@ def q_screenshot_dedup(spark, sf_dir):
 def q_frontier_crawl(spark, sf_dir):
     """The engine end-to-end (S1/S2/F1-F5/J1/W1/W5/SO1): explore +
     exact-DFS resolve over the deterministic t-smoke synthetic web.
-    No SQL oracle — exact crawl order is sequential-DFS semantics;
-    pinned row-for-row against the reference simulator in
-    tests/test_crawl_golden.py."""
+    Exact crawl order is sequential-DFS semantics (not SQL-expressible),
+    so the oracle is committed GOLDEN PARQUET from the independent
+    no-Spark reference simulator (tools/gen_golden_oracles.py) and the
+    driver hash-checks it like any SQL oracle; the same order is also
+    pinned row-for-row in tests/test_crawl_golden.py."""
     import tempfile
 
     from crawler_spark.engine.config import CrawlConfig
