@@ -865,6 +865,45 @@ class FrontierEngine:
                        .max() if fd is not None and len(fd)
                        else self._cursor_frames()[1][["dir", "max_frank"]])
 
+    def _maybe_bootstrap_spill(self, rnd: int, counts: dict) -> None:
+        """Pre-advance spill: when the round that is ABOUT to register
+        its freezes would push the cursor past the cap, flip to
+        spilled mode FIRST so the registration itself runs as the
+        distributed advance — otherwise a single round that freezes
+        10^8 hosts at once (a wide same-depth frontier) would still
+        pay one unbounded pandas merge before _maybe_spill_cursor
+        could react. The frozen ROW count from the footers is an upper
+        bound on new groups, so the trigger is conservative (may spill
+        one round early — harmless; the transition is one-way and
+        semantics are pinned identical by the spill goldens)."""
+        n_f = sum(v for k, v in counts.items() if k.startswith("sel=f"))
+        cur_len = 0 if self._cursor is None else len(self._cursor)
+        if cur_len + n_f <= self.cursor_spill_rows:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cur = self._cursor if self._cursor is not None \
+            else self._cursor_frames()[0]
+        bp = os.path.join(self.ckpt, "cursor",
+                          f"bootstrap={rnd:05d}.parquet")
+        os.makedirs(os.path.dirname(bp), exist_ok=True)
+        # explicit schema: an EMPTY pandas object column would infer
+        # Arrow `null`, and Spark's join coercion on a null-typed key
+        # miscasts the other side
+        pq.write_table(pa.Table.from_pandas(cur, schema=pa.schema([
+            ("host", pa.string()), ("salt", pa.int32()),
+            ("salt_cap", pa.int64()), ("consumed", pa.int64()),
+            ("frozen_total", pa.int64())]), preserve_index=False), bp)
+        self._cursor_spark = True
+        self._cursor_sdf_path = bp
+        self._cursor = None
+        self._host_caps_ = None
+        fd = self._fdirs
+        self._fdirs = (fd.groupby("dir", as_index=False)["max_frank"]
+                       .max() if fd is not None and len(fd)
+                       else self._cursor_frames()[1][["dir", "max_frank"]])
+
     def _host_salt_cap(self, host: str) -> int:
         """Driver twin of the plan's salt_cap expression (same
         formula, same truncation — asserted equal by the dense-frank
@@ -1326,6 +1365,8 @@ class FrontierEngine:
                        else tstats["total_take"] if tstats is not None
                        else 0)}
         if self.enforce_politeness and self.freeze_frontier:
+            if not self._cursor_spark:
+                self._maybe_bootstrap_spill(rnd, counts)
             if self._cursor_spark:
                 self._advance_cursor_spark(rnd, takes_sdf, counts)
             else:
