@@ -2050,9 +2050,23 @@ class FrontierEngine:
             # it only engages when the labeled edge set is big enough
             # that per-shard sweeps are seconds, not milliseconds
             n_labeled = sum(self._footer_rows(sharded_path).values())
+            # overlap gate: the optimistic parallel path redoes each
+            # shard's FULL sweep speculatively, so it only wins when
+            # shard subgraphs are (near-)disjoint — sum(shard rows) /
+            # global skeleton rows ≈ 1. On a densely cross-linked web
+            # every seed branch reaches most of the graph (measured on
+            # the 16M bench web: 8 shards of ~58M rows each over an
+            # 80M-edge skeleton, parallel sweep 83 s vs sequential
+            # 9 s), so heavy overlap falls back to the sequential
+            # skip-claimed sweep. Both counts come from parquet
+            # footers — no Spark job.
+            n_skel = sum(self._footer_rows(skel_path).values())
+            overlap = n_labeled / max(1, n_skel)
             shard_procs = (min(len(order),
                                max(2, (os.cpu_count() or 8) // 4))
-                           if n_labeled >= 2_000_000 else 1)
+                           if n_labeled >= 2_000_000 and overlap <= 1.3
+                           else 1)
+            self.timings["shard_overlap"] = round(overlap, 2)
         if (shard_procs > 1 and len(order) > 1
                 and _load_lib() is not None):
             # parallel optimistic sweeps + sequential validation (C

@@ -32,6 +32,12 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--depth", type=int, default=8)
     ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--clusters", type=int, default=0,
+                    help="generate the PARTITIONABLE web variant "
+                    "(cross links stay in-cluster, per-cluster seed "
+                    "blocks) — the disjoint-branch shape the parallel "
+                    "optimistic sweep targets; 0 = the standard "
+                    "fully-cross-linked bench web")
     ap.add_argument("--json", default="")
     args = ap.parse_args()
 
@@ -43,7 +49,16 @@ def main() -> None:
 
     spark = get_spark("sharded-bench", cores=args.cores,
                       shuffle_partitions=args.cores)
-    web = ensure_bench_web()
+    if args.clusters:
+        from crawler_spark.sources.synth_web import generate_bench_web
+        web = (f"/tmp/crawler_spark_bench/web-{args.pages}"
+               f"-s1024-c{args.clusters}")
+        if not os.path.exists(os.path.join(web, "seeds.parquet")):
+            print("# generating clustered bench web…", file=sys.stderr)
+            print(f"# {generate_bench_web(web, args.pages, n_hosts=1024, n_seeds=1024, n_clusters=args.clusters)}",
+                  file=sys.stderr)
+    else:
+        web = ensure_bench_web()
     cfg = CrawlConfig(max_depth=args.depth,
                       rate_limit=max(50_000, args.pages // 20),
                       batch_window_ms=1000)
