@@ -46,6 +46,21 @@ class CrawlConfig:
     ``batch_window_ms``: politeness window a batch represents; a host
     with crawl_delay d gets floor(window/d) slots per batch, min 1,
     capped at rate_limit.
+    ``custom_headers``: extra HTTP headers applied to EVERY fetch
+    (reference: page.setExtraHTTPHeaders before navigation,
+    crawler-engine.ts:565-566) — per-request constants the HTTP
+    mapInPandas stage attaches; they ride in the run manifest and can
+    never alter scheduling. Stored as a kv tuple so the config stays
+    hashable/frozen; ``fetch_headers()`` gives the dict.
+    ``file_type_filters`` / ``captcha_enabled`` / ``captcha_service``:
+    reference-parity config surface with deliberately NO behavior —
+    the reference declares them (types/crawler.ts:14,19-23) and never
+    reads them anywhere in lib/ (verified by grep over the tree), so
+    faithful parity is accepting + recording them while leaving the
+    schedule untouched (pinned by tests/test_config_manifest.py). The
+    reference's ``captchaSolving.apiKey`` is intentionally NOT
+    modeled: a secret does not belong in a config that gets persisted
+    into checkpoint manifests.
     """
 
     max_depth: int = DEFAULT_MAX_DEPTH
@@ -55,12 +70,32 @@ class CrawlConfig:
     restrict_domains: bool = False
     include_subdomains: bool = True
     batch_window_ms: int = 1000
+    custom_headers: tuple[tuple[str, str], ...] = ()
+    file_type_filters: tuple[str, ...] = ()
+    captcha_enabled: bool = False
+    captcha_service: str = ""
 
     def host_cap(self, crawl_delay_ms: int) -> int:
         """Fetch starts allowed for a host within one batch window."""
         if crawl_delay_ms and crawl_delay_ms > 0:
             return max(1, min(self.rate_limit, self.batch_window_ms // crawl_delay_ms))
         return self.rate_limit
+
+    def fetch_headers(self) -> dict[str, str]:
+        """The per-request header map the HTTP fetch stage applies."""
+        return dict(self.custom_headers)
+
+    def manifest(self) -> dict:
+        """JSON-safe echo of every field — written to the checkpoint
+        once at crawl start and asserted unchanged on resume (a crawl
+        resumed under different parameters would silently mix two
+        schedules' semantics)."""
+        from dataclasses import asdict
+
+        def _plain(v):
+            return list(map(_plain, v)) if isinstance(v, tuple) else v
+
+        return {k: _plain(v) for k, v in asdict(self).items()}
 
 
 def prio_component(index: int) -> str:

@@ -1395,11 +1395,36 @@ class FrontierEngine:
                     if os.path.isdir(ddir) else batch.limit(0))
         return batch, deferred, n_batch
 
+    def _pin_config_manifest(self) -> None:
+        """Write the full CrawlConfig echo (incl. custom_headers and
+        the reference-parity captcha/file-filter surface,
+        types/crawler.ts:13-23) into the checkpoint ONCE at crawl
+        start, and refuse to resume under a different config — a
+        checkpoint replayed with changed max_depth/rate_limit/headers
+        would silently mix two schedules' semantics into one exact
+        crawl order."""
+        mp = os.path.join(self.ckpt, "config.json")
+        man = self.cfg.manifest()
+        if os.path.exists(mp):
+            with open(mp) as f:
+                prev = json.load(f)
+            if prev != man:
+                diff = sorted(k for k in man if prev.get(k) != man[k])
+                raise ValueError(
+                    f"checkpoint {self.ckpt} was started under a "
+                    f"different CrawlConfig (changed: {diff}); resume "
+                    "with the original config or start a fresh "
+                    "checkpoint")
+        else:
+            with open(mp, "w") as f:
+                json.dump(man, f, indent=1, sort_keys=True)
+
     def explore(self, max_rounds: int = 10_000) -> None:
         """Run (or resume) the explore loop to completion. Each round:
         politeness-budgeted batch selection → fetch join → edge/image
         extraction → admission → frontier update → checkpoint."""
         os.makedirs(self.ckpt, exist_ok=True)
+        self._pin_config_manifest()
         st = self._state()
         if st.get("done"):
             return
