@@ -255,10 +255,16 @@ def main() -> None:
         corpus_out = "/tmp/crawler_spark_bench/corpus"
         shutil.rmtree(corpus_out, ignore_errors=True)
         t0 = time.time()
+        # threshold 0.4 measured against the synthetic embeddings'
+        # cosine distribution: 920 edges → 1087 canonical of 2000 at
+        # sf0.1 — real near-dup merging. 0.3 sat below the noise floor
+        # (14,922 edges chain ALL 2000 vectors into one component) and
+        # 0.5 finds almost nothing (14 edges) — both degenerate for a
+        # dedup benchmark.
         cstats = run_corpus(
             spark, os.path.join(SF_DIR, "documents.parquet"), corpus_out,
             embeddings=os.path.join(SF_DIR, "embeddings.parquet"),
-            cosine_threshold=0.3)
+            cosine_threshold=0.4)
         corpus = {"sec": round(time.time() - t0, 2), **cstats}
         print(f"# corpus: {corpus}", file=sys.stderr)
 
