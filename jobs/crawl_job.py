@@ -39,6 +39,11 @@ def main() -> None:
     ap.add_argument("--rate-limit", type=int, default=10)
     ap.add_argument("--sample-mode", action="store_true")
     ap.add_argument("--restrict-domains", action="store_true")
+    ap.add_argument("--header", action="append", default=[],
+                    metavar="K:V",
+                    help="extra HTTP header applied to every fetch "
+                    "(repeatable; reference customHeaders, "
+                    "crawler-engine.ts:565-566)")
     ap.add_argument("--politeness", action="store_true",
                     help="enforce per-host caps per explore round")
     ap.add_argument("--bloom", action="store_true",
@@ -99,7 +104,9 @@ def main() -> None:
 
     cfg = CrawlConfig(max_depth=args.max_depth, rate_limit=args.rate_limit,
                       sample_mode=args.sample_mode,
-                      restrict_domains=args.restrict_domains)
+                      restrict_domains=args.restrict_domains,
+                      custom_headers=tuple(
+                          tuple(h.split(":", 1)) for h in args.header))
     eng = FrontierEngine(spark, cfg, args.web, args.ckpt,
                          enforce_politeness=args.politeness,
                          use_bloom=args.bloom,
