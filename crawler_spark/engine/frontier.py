@@ -829,6 +829,7 @@ class FrontierEngine:
             if os.path.exists(dp):
                 fd = pd.read_parquet(dp)
                 if "host" in fd.columns:   # pre-spill dirs registry
+                    self._write_dirstats_pandas(fd)   # keep retirable
                     fd = (fd.groupby("dir", as_index=False)["max_frank"]
                           .max())
             else:
@@ -847,6 +848,71 @@ class FrontierEngine:
         self._cursor.to_parquet(cp, index=False)
         self._fdirs.to_parquet(dp, index=False)
 
+    def _dirstats_path(self, rel: str) -> str:
+        """Per-freeze-dir group-stats parquet (dir, host, salt,
+        max_frank) — the spilled mode's basis for PRECISE dir
+        retirement: a dir is dead exactly when every group's consumed
+        has reached its in-dir max frank. One file/dir so a retired
+        dir's stats can be deleted outright."""
+        name = rel.replace("/", "_").replace("=", "-")
+        return os.path.join(self.ckpt, "cursor", "dirstats",
+                            name + ".parquet")
+
+    def _write_dirstats_pandas(self, fd) -> None:
+        """Spill-transition export of the pandas dirs registry (which
+        is per-(dir, host, salt)) into per-dir stats files, so dirs
+        frozen BEFORE the spill stay precisely retirable after it."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if fd is None or not len(fd) or "host" not in fd.columns:
+            return
+        os.makedirs(os.path.join(self.ckpt, "cursor", "dirstats"),
+                    exist_ok=True)
+        for rel, g in fd.groupby("dir"):
+            pq.write_table(pa.Table.from_pandas(
+                g.assign(dir=rel)[["dir", "host", "salt", "max_frank"]],
+                schema=pa.schema([
+                    ("dir", pa.string()), ("host", pa.string()),
+                    ("salt", pa.int32()), ("max_frank", pa.int64())]),
+                preserve_index=False), self._dirstats_path(rel))
+
+    def _retire_dirs_spark(self, fd, cp: str):
+        """Spilled-mode dir retirement: join every live dir's group
+        stats against the just-written cursor and keep a dir iff ANY
+        of its groups still has unpopped franks (max_frank >
+        consumed). One small Spark job, run only on pop rounds (the
+        only rounds where consumed moves); dead dirs drop from the
+        driver's live list AND their stats files are deleted, so both
+        the list and the stats scan stay O(genuinely-live dirs) under
+        perpetual freezing. Dirs with no stats file (pre-round-4
+        checkpoints) are kept — conservative, backward compatible."""
+        dirs = list(fd["dir"].unique())
+        paths = {d: self._dirstats_path(d) for d in dirs}
+        have = [p for p in paths.values() if os.path.exists(p)]
+        if not have:
+            return fd
+        alive_rows = (self.spark.read.schema(
+            "dir string, host string, salt int, max_frank long")
+            .parquet(*have)
+            .join(self.spark.read.parquet(cp)
+                  .select("host", "salt", "consumed"),
+                  ["host", "salt"], "left")
+            .groupBy("dir")
+            .agg(F.max(F.col("max_frank")
+                       > F.coalesce("consumed", F.lit(0).cast("long")))
+                 .alias("alive")).collect())
+        dead = {r["dir"] for r in alive_rows if not r["alive"]}
+        if not dead:
+            return fd
+        for d in dead:
+            p = paths[d]
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            elif os.path.exists(p):
+                os.remove(p)
+        return fd[~fd["dir"].isin(dead)].reset_index(drop=True)
+
     def _maybe_spill_cursor(self, rnd: int) -> None:
         """One-way pandas → parquet transition once the cursor
         outgrows the driver cap (called right after a pandas-mode
@@ -861,6 +927,7 @@ class FrontierEngine:
         self._cursor = None
         self._host_caps_ = None
         fd = self._fdirs
+        self._write_dirstats_pandas(fd)
         self._fdirs = (fd.groupby("dir", as_index=False)["max_frank"]
                        .max() if fd is not None and len(fd)
                        else self._cursor_frames()[1][["dir", "max_frank"]])
@@ -900,6 +967,7 @@ class FrontierEngine:
         self._cursor = None
         self._host_caps_ = None
         fd = self._fdirs
+        self._write_dirstats_pandas(fd)
         self._fdirs = (fd.groupby("dir", as_index=False)["max_frank"]
                        .max() if fd is not None and len(fd)
                        else self._cursor_frames()[1][["dir", "max_frank"]])
@@ -1161,25 +1229,32 @@ class FrontierEngine:
                 F.coalesce(F.sum(F.col("_bad").cast("long")),
                            F.lit(0)).alias("nbad"),
                 F.max(F.when(F.col("_froze"), F.col("frozen_total")))
-                .alias("dir_max"),
-                F.min("consumed").alias("gmin")).collect()[0]
+                .alias("dir_max")).collect()[0]
             if row["nbad"]:
                 raise AssertionError(
                     f"frozen rank not dense for {int(row['nbad'])} "
                     f"(host, salt) groups at round {rnd}")
             (out.drop("_froze", "_bad")
              .write.mode("overwrite").parquet(cp))
+            # per-dir group stats off the same checkpointed frame —
+            # the retirement join's input (no re-agg of the freeze dir)
+            (out.filter("_froze")
+             .select(F.lit(rel).alias("dir"), "host", "salt",
+                     F.col("frozen_total").alias("max_frank"))
+             .write.mode("overwrite").parquet(self._dirstats_path(rel)))
             fd = pd.concat(
                 [fd, pd.DataFrame({"dir": [rel],
                                    "max_frank": [int(row["dir_max"])]})],
                 ignore_index=True)
-            gmin = row["gmin"]
         else:
             out = cur.localCheckpoint()
-            gmin = out.agg(F.min("consumed")).collect()[0][0]
             out.write.mode("overwrite").parquet(cp)
-        if gmin is not None and len(fd):
-            fd = fd[fd["max_frank"] > int(gmin)].reset_index(drop=True)
+        if takes_sdf is not None and len(fd):
+            # pops are the only rounds where consumed moves, so only
+            # they can kill a dir — precise retirement via the stats
+            # join keeps the live-dir list bounded by the drain depth,
+            # not the crawl length, under perpetual freezing
+            fd = self._retire_dirs_spark(fd, cp)
         self._fdirs = fd
         self._cursor_sdf_path = cp
         os.makedirs(os.path.dirname(dp), exist_ok=True)
