@@ -1100,7 +1100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ST6/F11 console router, sitemap_tree carries the J2 parent→
     children agg, and session_pacing carries P2 pacing + P3 stealth.
     Every entry here is driver-checked (rows+schema+hash) against
-    oracle_sql(); CORRECTNESS_r03 was 50/50 green."""
+    oracle_sql(); the per-round CORRECTNESS_rNN artifacts record the
+    full 50/50 row+schema+hash results (green since r03)."""
     return {
         # the engine itself + the two formerly hash-failing rollups
         "frontier_crawl": q_frontier_crawl,

@@ -30,7 +30,15 @@ HEADLINE = [
     "dedup_exact", "trigram_jaccard", "minhash_lsh",
     "simhash_pairs", "doc_stats", "cosine_pairs", "ann_topk",
     "lsh_ann", "image_phash_dedup", "image_thumbnail",
+    # perf-tracked since r5: the forward-fill frame window and the
+    # P2+P3 pacing lane chains are plans that can silently degrade
+    "session_pacing", "frame_serve",
 ]
+# each headline query is timed REPEATS times and the MEDIAN committed,
+# with per-query spread alongside — BASELINE.md documents identical-code
+# epochs swinging individual queries 2x in both directions, so a
+# single-run artifact cannot distinguish noise from regression
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 # token_jaccard (unigram, t=0.9) is in the correctness battery but not
 # the headline: on this corpus its TRUE result set grows ~quadratically
 # with sf (most word-salad docs exceed 0.9 unigram overlap), so its
@@ -233,15 +241,26 @@ def main() -> None:
                 print(f"# prewarm {name} skipped: {exc}", file=sys.stderr)
     print(f"# prewarm: {time.time() - t0:.2f}s", file=sys.stderr)
     times: dict[str, float] = {}
+    spread: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        n = fn(spark, SF_DIR).count()
-        dt = time.time() - t0
-        times[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+        samples = []
+        n = 0
+        for _ in range(max(1, REPEATS)):
+            t0 = time.time()
+            n = fn(spark, SF_DIR).count()
+            samples.append(time.time() - t0)
+        samples.sort()
+        med = samples[len(samples) // 2]
+        times[name] = round(med, 3)
+        # relative spread (max-min)/median over the repeats: the
+        # artifact's own noise control for round-over-round diffs
+        spread[name] = round((samples[-1] - samples[0]) / med, 2) \
+            if med > 0 else 0.0
+        total += med
+        print(f"# {name}: {med:.2f}s (spread {spread[name]:.0%} "
+              f"over {len(samples)} runs) rows={n}", file=sys.stderr)
 
     corpus = {}
     if os.environ.get("SPARK_GRAFT_SKIP_CORPUS", "") != "1":
@@ -288,12 +307,15 @@ def main() -> None:
 
     out = {
         "metric": "headline query suite + frontier crawl wall time",
-        # value keeps its r01-r03 definition (queries + frontier) so
+        # value keeps its r01-r04 definition (queries + frontier) so
         # round-over-round comparisons stay apples-to-apples; the
-        # corpus pipeline is tracked as its own key
+        # corpus pipeline is tracked as its own key. Since r5 each
+        # query's committed time is the MEDIAN of `repeats` runs.
         "value": round(total + float(frontier.get("sec", 0.0)), 3),
         "unit": "sec",
         "queries": times,
+        "query_spread": spread,
+        "repeats": max(1, REPEATS),
         "sf": SF_DIR,
         "frontier": frontier,
         "corpus": corpus,

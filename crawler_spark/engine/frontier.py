@@ -122,37 +122,6 @@ def _node_offsets(path: str) -> tuple[dict[int, int], int]:
     return offs, acc
 
 
-def _node_hash_by_id(nodes_path: str):
-    """id → hash dictionary (numpy int64, indexed by dense id) from
-    the (h, mono) node table. Each file holds one write partition
-    (one pid), so its ids are the contiguous range offs[pid] +
-    [0..rows) — per-file scatters are disjoint and the thread-pooled
-    load is race-free. Ids derived here are bit-identical to the
-    Spark-side `nodes_id` projection (same offsets, same ordinals)."""
-    import numpy as np
-    import pyarrow.parquet as pq
-    from concurrent.futures import ThreadPoolExecutor
-
-    offs, n_nodes = _node_offsets(nodes_path)
-    node_arr = np.empty(n_nodes, np.int64)
-    files = [os.path.join(nodes_path, f) for f in os.listdir(nodes_path)
-             if f.endswith(".parquet")]
-
-    def load(f: str) -> None:
-        t = pq.read_table(f, columns=["h", "mono"])
-        if len(t) == 0:
-            return
-        mono = t["mono"].to_numpy(zero_copy_only=False)
-        base = offs[int(mono[0]) >> 33]
-        ids = base + (mono & _MONO_MASK)
-        node_arr[ids] = t["h"].to_numpy(zero_copy_only=False)
-
-    if files:
-        with ThreadPoolExecutor(min(16, len(files))) as ex:
-            list(ex.map(load, files))
-    return node_arr
-
-
 def _shard_sweep_optimistic(args):
     """Process-pool worker for the PARALLEL sharded resolve: load one
     shard's skeleton and sweep it OPTIMISTICALLY (empty claim state —
@@ -377,6 +346,9 @@ class FrontierEngine:
         self.cursor_spill_rows = cursor_spill_rows
         self._cursor_spark = False   # spilled mode active
         self._cursor_sdf_path = None  # current cursor parquet (spilled)
+        # dirstats files of dirs retired THIS round — deleted only
+        # after the round's snapshot commit (see _retire_dirs_spark)
+        self._dirstats_dead: list[str] = []
         self.use_bloom = use_bloom
         # cuckoo is the deletion-capable alternative (operators/
         # cuckoo.py); both compose identically as certain-new
@@ -811,18 +783,47 @@ class FrontierEngine:
             return sum(FrontierEngine._footer_rows(path).values())
         return pq.ParquetFile(path).metadata.num_rows
 
+    @staticmethod
+    def _parquet_cols(path: str) -> list[str]:
+        """Schema column names of a parquet file OR dir, from the
+        footer of one part (no Spark job)."""
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            for f in sorted(os.listdir(path)):
+                if f.endswith(".parquet"):
+                    return pq.ParquetFile(
+                        os.path.join(path, f)).schema_arrow.names
+            return []
+        return pq.ParquetFile(path).schema_arrow.names
+
     def _load_cursor(self, rnd: int) -> None:
         """Cursor state as persisted AFTER round ``rnd``'s frontier
         write (resume path; a pre-freeze checkpoint simply has no
         cursor files and no sel=f dirs — empty state is correct).
-        A cursor past the spill cap resumes STRAIGHT into spilled
-        mode — it is never pulled onto the driver."""
+
+        Mode detection is by the PERSISTED STATE's shape, not by row
+        count: the spilled-mode advance compacts the dirs registry to
+        (dir, max_frank) while pandas mode always persists the full
+        per-(dir, host, salt) registry — so a dirs parquet without a
+        'host' column IS the spilled-mode marker. Row count alone was
+        wrong both ways: a group-skewed bootstrap spill (one mega-host
+        freezing >cap ROWS over few (host, salt) GROUPS) leaves a
+        spilled cursor far below the cap, and raising
+        cursor_spill_rows between runs shrinks the cap's meaning —
+        either way a pandas-mode resume would merge the compact
+        registry on ['host', 'salt'] and crash. The row-count check
+        stays as a conservative fallback for pandas-written state that
+        now exceeds the (possibly lowered) cap."""
         import pandas as pd
 
         cp, dp = self._cursor_paths(rnd)
         cur, fd = self._cursor_frames()
-        if (os.path.exists(cp)
-                and self._parquet_rows(cp) > self.cursor_spill_rows):
+        spilled_state = (os.path.exists(dp)
+                         and "host" not in self._parquet_cols(dp))
+        if os.path.exists(cp) and (
+                spilled_state
+                or self._parquet_rows(cp) > self.cursor_spill_rows):
             self._cursor_spark = True
             self._cursor_sdf_path = cp
             self._cursor = None
@@ -883,7 +884,8 @@ class FrontierEngine:
         of its groups still has unpopped franks (max_frank >
         consumed). One small Spark job, run only on pop rounds (the
         only rounds where consumed moves); dead dirs drop from the
-        driver's live list AND their stats files are deleted, so both
+        driver's live list AND their stats files are deleted (after
+        the round's commit — see below), so both
         the list and the stats scan stay O(genuinely-live dirs) under
         perpetual freezing. Dirs with no stats file (pre-round-4
         checkpoints) are kept — conservative, backward compatible."""
@@ -905,13 +907,26 @@ class FrontierEngine:
         dead = {r["dir"] for r in alive_rows if not r["alive"]}
         if not dead:
             return fd
-        for d in dead:
-            p = paths[d]
+        # deletion is DEFERRED past the round's snapshot commit: a
+        # crash between an eager delete and commit_dir would roll the
+        # registry back to a state listing dirs whose stats files are
+        # gone, and the 'no stats file -> keep' rule would then pin
+        # them live (and in every pop scan) forever. Queued paths are
+        # flushed by _write_frontier right after commit; a crash in
+        # between merely leaves unreferenced stats files on disk
+        # (harmless: only registry-listed dirs are ever joined).
+        self._dirstats_dead.extend(paths[d] for d in dead)
+        return fd[~fd["dir"].isin(dead)].reset_index(drop=True)
+
+    def _flush_dead_dirstats(self) -> None:
+        """Post-commit deletion of retired dirs' stats files (see
+        _retire_dirs_spark's crash-window note)."""
+        for p in self._dirstats_dead:
             if os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
             elif os.path.exists(p):
                 os.remove(p)
-        return fd[~fd["dir"].isin(dead)].reset_index(drop=True)
+        self._dirstats_dead = []
 
     def _maybe_spill_cursor(self, rnd: int) -> None:
         """One-way pandas → parquet transition once the cursor
@@ -1453,6 +1468,8 @@ class FrontierEngine:
         self.frontier_table.commit_dir(
             f"round={rnd:05d}", "round", counts,
             extra={"round": rnd})
+        # the commit is durable — now retired dirs' stats files can go
+        self._flush_dead_dirstats()
 
     def _read_round(self, rnd: int) -> tuple[DataFrame, DataFrame, int]:
         """(batch, deferred, n_batch) for a written frontier round —
@@ -1791,6 +1808,12 @@ class FrontierEngine:
         changed this round are provably final (see the in-loop
         argument) — so a streaming consumer can emit the visit order
         incrementally while the tail converges."""
+        # per-call step timings: RESET here so two consecutive
+        # resolve() calls on one engine report disjoint,
+        # non-accumulating breakdowns (the bug class round-4 ADVICE
+        # flagged twice; pinned by
+        # test_resolve_timings_disjoint_per_call)
+        self.timings = {}
         # edges are admissible-by-construction (admission is fused
         # into the explore-side edge write — scheme/domain/robots run
         # exactly once per edge, there), so resolve needs no second
@@ -1930,9 +1953,11 @@ class FrontierEngine:
         t0 = time.time()
         import numpy as np
 
-        # id → hash dictionary for the final rank→url handoff
-        node_arr = _node_hash_by_id(nodes_path)
-        n_nodes = len(node_arr)
+        # node COUNT only — the id→hash mapping itself stays
+        # distributed (claims are written as dense ids and rejoined
+        # to urls in _claims_to_visits; the former driver-resident
+        # 8 B/node id→hash array was ~80 GB at the 10^10-URL posture)
+        _, n_nodes = _node_offsets(nodes_path)
         # seeds sorted by prio string ≡ seed_rank order: the oracle
         # crawls each seed's subtree to completion before the next;
         # ids come from the same node table the edges were encoded
@@ -1968,18 +1993,17 @@ class FrontierEngine:
         n, out_id, out_depth, out_parent_rank, out_li, impl = sweep(
             c_id, i_sorted, uniq_p_id, bounds, seed_id, n_nodes,
             self.cfg.max_depth)
-        out_h = node_arr[out_id] if n else np.empty(0, np.int64)
         self.timings["dfs_sweep"] = round(time.time() - t0, 2)
         self.timings["sweep_impl"] = impl
         claims_path = self._paths("claims")
         shutil.rmtree(claims_path, ignore_errors=True)
         t0 = time.time()
-        self._write_claims(claims_path, out_h, out_depth, out_parent_rank,
+        self._write_claims(claims_path, out_id, out_depth, out_parent_rank,
                            out_li, rank0=0, part=0,
-                           seed_prio_by_h={int(r["h"]): r["prio"].encode()
-                                           for r in seed_rows})
+                           seed_prio_by_id={int(r["id"]): r["prio"].encode()
+                                            for r in seed_rows})
         self.timings["claims_write"] = round(time.time() - t0, 2)
-        return self._claims_to_visits(claims_path, seeds)
+        return self._claims_to_visits(claims_path, seeds, nodes_id)
 
     def _resolve_sharded(self, edges: DataFrame, seeds: DataFrame,
                          n_shards: int = 4,
@@ -1997,10 +2021,12 @@ class FrontierEngine:
         and swept alone, with the claim state (4 B/node rank_of)
         persisting across shards so later shards skip earlier claims
         exactly like the global sweep would. Driver memory is bounded
-        by the LARGEST SHARD's edge set (+ the node-indexed arrays, 12
-        B/node), not the web: at 10^10 edges the global skeleton is
-        ~200 GB of driver RAM while 64-way sharding needs only the
-        largest branch. The trade is duplicated edge labeling where
+        by the LARGEST SHARD's edge set (+ the 4 B/node claim state —
+        the only remaining node-indexed driver array; claims are
+        written as dense ids and the id→url mapping rides the
+        distributed rejoin in _claims_to_visits), not the web: at
+        10^10 edges the global skeleton is ~200 GB of driver RAM
+        while 64-way sharding needs only the largest branch. The trade is duplicated edge labeling where
         shard subgraphs overlap — distributed compute paid to bound
         sequential memory. Produces claims row-for-row equal to
         strategy='skeleton' (pinned in tests/test_crawl_golden.py)."""
@@ -2174,20 +2200,19 @@ class FrontierEngine:
             # array for conflict re-sweeps)
             return self._sweep_shards_parallel(
                 order, shard_seed_ids, sharded_path, nodes_path,
-                seed_rows, seeds, _load_shard, shard_procs)
+                seed_rows, seeds, _load_shard, shard_procs, nodes_id)
         from concurrent.futures import ThreadPoolExecutor
         pool = ThreadPoolExecutor(max_workers=1)
-        # shard 0's load overlaps the node-table read below — the only
-        # shard whose IO nothing else can hide
+        # shard 0's load overlaps the node-count footer scan — the
+        # only shard whose IO nothing else can hide
         nxt_fut = pool.submit(_load_shard, order[0])
-        node_arr = _node_hash_by_id(nodes_path)
-        n_nodes = len(node_arr)
+        _, n_nodes = _node_offsets(nodes_path)
         self.timings["skeleton_read"] = round(time.time() - t0, 2)
         t0 = time.time()
         claims_path = self._paths("claims")
         shutil.rmtree(claims_path, ignore_errors=True)
         state = SweepState(n_nodes)
-        seed_prio = {int(r["h"]): r["prio"].encode() for r in seed_rows}
+        seed_prio = {int(r["id"]): r["prio"].encode() for r in seed_rows}
         shard_secs = []
         write_sec = 0.0  # this resolve's writes only, excluded from
         # dfs_sweep below so the sharded and skeleton paths report the
@@ -2205,11 +2230,10 @@ class FrontierEngine:
             n, out_id, out_depth, out_pr, out_li = state.sweep_shard(
                 c_id, i_sorted, uniq_p_id, bounds, seed_id,
                 self.cfg.max_depth)
-            out_h = node_arr[out_id] if n else np.empty(0, np.int64)
             t_w = time.time()
-            self._write_claims(claims_path, out_h, out_depth, out_pr,
+            self._write_claims(claims_path, out_id, out_depth, out_pr,
                                out_li, rank0=state.rank - n, part=s,
-                               seed_prio_by_h=seed_prio)
+                               seed_prio_by_id=seed_prio)
             write_sec += time.time() - t_w
             shard_secs.append(round(time.time() - t_s, 2))
         pool.shutdown(wait=False)
@@ -2217,11 +2241,11 @@ class FrontierEngine:
         self.timings["dfs_sweep"] = round(time.time() - t0 - write_sec, 2)
         self.timings["sweep_impl"] = state.impl
         self.timings["shard_sweeps"] = shard_secs
-        return self._claims_to_visits(claims_path, seeds)
+        return self._claims_to_visits(claims_path, seeds, nodes_id)
 
     def _sweep_shards_parallel(self, order, shard_seed_ids,
                                sharded_path, nodes_path, seed_rows,
-                               seeds, load_shard, shard_procs):
+                               seeds, load_shard, shard_procs, nodes_id):
         """Parallel seed-branch sweeps with EXACT validation — the
         per-shard DFS sweeps of `_resolve_sharded` fanned out to a
         process pool (the C kernel is ctypes and each worker is its
@@ -2256,13 +2280,12 @@ class FrontierEngine:
         from ..core.dfs_kernel import SweepState
 
         t0 = time.time()
-        node_arr = _node_hash_by_id(nodes_path)
-        n_nodes = len(node_arr)
+        _, n_nodes = _node_offsets(nodes_path)
         self.timings["skeleton_read"] = round(time.time() - t0, 2)
         t0 = time.time()
         claims_path = self._paths("claims")
         shutil.rmtree(claims_path, ignore_errors=True)
-        seed_prio = {int(r["h"]): r["prio"].encode() for r in seed_rows}
+        seed_prio = {int(r["id"]): r["prio"].encode() for r in seed_rows}
         rank_of = np.full(n_nodes, -1, np.int32)
         rank = 0
         shard_secs: list[float] = []
@@ -2328,26 +2351,35 @@ class FrontierEngine:
                     f_li = np.concatenate([p[3] for p in parts])
                     t_w = time.time()
                     self._write_claims(
-                        claims_path, node_arr[f_id], f_dep, f_pr, f_li,
+                        claims_path, f_id, f_dep, f_pr, f_li,
                         rank0=rank0_shard, part=s,
-                        seed_prio_by_h=seed_prio)
+                        seed_prio_by_id=seed_prio)
                     write_sec += time.time() - t_w
         self.timings["claims_write"] = round(write_sec, 2)
         self.timings["dfs_sweep"] = round(time.time() - t0 - write_sec, 2)
         self.timings["sweep_impl"] = f"{sweep_impl}*{shard_procs}procs"
         self.timings["shard_sweeps"] = shard_secs
         self.timings["shard_resweeps"] = resweeps
-        return self._claims_to_visits(claims_path, seeds)
+        return self._claims_to_visits(claims_path, seeds, nodes_id)
 
     @staticmethod
-    def _write_claims(claims_path: str, out_h, out_depth, out_parent_rank,
+    def _write_claims(claims_path: str, out_id, out_depth, out_parent_rank,
                       out_li, rank0: int, part: int,
-                      seed_prio_by_h: dict[int, bytes]) -> None:
+                      seed_prio_by_id: dict[int, bytes]) -> None:
         """Hand a sweep's claims back through a pyarrow parquet part:
         ~10× faster than createDataFrame at millions of rows,
         session-independent (no Arrow-vs-fallback divergence on the
-        nullable parent_h), and it doubles as the resolve checkpoint
+        nullable parent_id), and it doubles as the resolve checkpoint
         artifact.
+
+        Claims are written as DENSE IDS (id, parent_id), not url
+        hashes: the id→hash/url mapping is resolved by the
+        DISTRIBUTED rejoin in _claims_to_visits against the node
+        table the skeleton was encoded with. The former approach
+        gathered hashes through a driver-resident 8 B/node id→hash
+        array (node_arr) — ~80 GB at the 10^10-URL posture; dense
+        ids remove that array entirely, leaving rank_of (4 B/node)
+        as the sweep's only node-indexed driver state.
 
         The priority VECTOR of every claim is emitted here too —
         prio(claim) = prio(parent) ++ hex4(link_index) — rebuilt
@@ -2367,13 +2399,14 @@ class FrontierEngine:
 
         from ..core.dfs_kernel import emit_prios
 
-        n = len(out_h)
+        n = len(out_id)
         # parent ranks are GLOBAL but a claim's parent is always
         # claimed by the same sweep call (DFS parents lie on the path
         # from this call's seeds), so call-local index = rank - rank0
         local_pr = np.maximum(out_parent_rank - rank0, 0)
-        parent_h = pa.array(out_h[local_pr] if n else out_h,
-                            pa.int64(), mask=out_parent_rank < 0)
+        parent_id = pa.array(
+            (out_id[local_pr] if n else out_id).astype(np.int32),
+            pa.int32(), mask=out_parent_rank < 0)
         # ---- prio build: one forward pass in the C kernel ----
         # (numpy twin inside emit_prios when no toolchain; pinned
         # equal in tests/test_dfs_kernel.py)
@@ -2381,7 +2414,7 @@ class FrontierEngine:
         seed_blob = bytearray()
         seed_ord = np.zeros(n, np.int32)
         for j, i in enumerate(srows):
-            p = seed_prio_by_h[int(out_h[i])]
+            p = seed_prio_by_id[int(out_id[i])]
             assert len(p) == _HEX_W
             seed_blob += p
             seed_ord[i] = j
@@ -2393,9 +2426,9 @@ class FrontierEngine:
             n, pa.py_buffer(offsets), pa.py_buffer(data))
         os.makedirs(claims_path, exist_ok=True)
         tbl = pa.table({
-            "h": pa.array(out_h, pa.int64()),
+            "id": pa.array(out_id.astype(np.int32)),
             "depth": pa.array(out_depth.astype(np.int32)),
-            "parent_h": parent_h,
+            "parent_id": parent_id,
             "parent_rank": pa.array(out_parent_rank.astype(np.int64)),
             "link_index": pa.array(out_li.astype(np.int32)),
             "prio": prio_arr,
@@ -2407,29 +2440,36 @@ class FrontierEngine:
                        row_group_size=1 << 20)
 
     def _claims_to_visits(self, claims_path: str, seeds: DataFrame,
+                          nodes_id: DataFrame,
                           timing_key: str = "claims_rejoin") -> DataFrame:
         """Read the claims parquet (prio vectors already emitted by the
-        sweep write — see _write_claims) and map hashes back to url
-        strings via the frontier union — every DFS claim is
-        BFS-admitted, so the union of frontier rounds (skinny url-only
-        rows, ~visit count) contains every claimed url; joining the
-        10x-larger edge set for the same mapping dominated the rejoin.
-        Semi-join against the claimed hashes first, then dedup."""
+        sweep write — see _write_claims) and map dense ids back to url
+        strings DISTRIBUTED: every DFS claim is BFS-admitted, so the
+        union of frontier rounds (skinny url-only rows, ~visit count)
+        ∪ seeds contains every claimed url; hashing those urls and
+        joining the node table (the same table the skeleton ids were
+        encoded against) yields the (id, url) dim, which then joins
+        the claims on id and parent_id. No driver-side id→hash array
+        anywhere — the mapping rides two keyed shuffle joins. Joining
+        the 10x-larger edge set for the same mapping dominated the
+        rejoin; the frontier union is the small side."""
         t0 = time.time()
         claims_df = (self.spark.read.parquet(claims_path)
                      .withColumn("prio", F.col("prio").cast("string")))
-        claimed_h = claims_df.select("h")
-        urls = (self.frontier_table.read(schema=self._frontier_schema)
-                .select("url")
-                .withColumn("h", url_hash(F.col("url")))
-                .join(F.broadcast(claimed_h), "h", "left_semi")
-                .unionByName(seeds.select(
-                    "url", url_hash(F.col("url")).alias("h")))
-                .dropDuplicates(["h"]))
-        out = (claims_df.join(urls, "h")
-               .join(urls.select(F.col("h").alias("parent_h"),
-                                 F.col("url").alias("parent_url")),
-                     "parent_h", "left")
+        # localCheckpoint: the dim feeds two joins below — without it
+        # the url-hash + node-table join subtree runs twice
+        id_url = (self.frontier_table.read(schema=self._frontier_schema)
+                  .select("url")
+                  .unionByName(seeds.select("url"))
+                  .withColumn("h", url_hash(F.col("url")))
+                  .dropDuplicates(["h"])
+                  .join(nodes_id.hint("shuffle_hash"), "h")
+                  .select("id", "url")
+                  .localCheckpoint())
+        out = (claims_df.join(id_url, "id")
+               .join(id_url.select(F.col("id").alias("parent_id"),
+                                   F.col("url").alias("parent_url")),
+                     "parent_id", "left")
                .select("url", "prio", "depth", "parent_url", "link_index",
                        "visit_rank"))
         out = out.localCheckpoint()
@@ -2528,15 +2568,37 @@ class FrontierEngine:
                   .withColumn("host", url_host(F.col("url")))
                   .withColumn("url_hash", url_hash(F.col("url"))))
         if "visit_rank" not in claims.columns:
-            # fixpoint path: global rank via a window. Scale note: at
-            # 10^10 rows replace with repartitionByRange(prio) + per-
-            # partition rank + offset join; window-over-all is fine at
-            # test scale and keeps the plan obvious. (The skeleton
-            # sweep emits ranks directly, in exact visit order.)
-            visits = visits.withColumn(
-                "visit_rank",
-                (F.row_number().over(Window.orderBy("prio")) - 1)
-                .cast("long"))
+            # fixpoint path: global rank DISTRIBUTED —
+            # repartitionByRange(prio) gives ordered, non-overlapping
+            # key ranges; rank = per-partition row_number + the
+            # cumulative offset of the partitions before it (one
+            # O(npart) collect). A bare Window.orderBy("prio") pulled
+            # every row into ONE partition — fine at test scale,
+            # hostile at the 16M+ webs the fixpoint bench runs. prios
+            # are unique (each encodes one exact tree path), so range
+            # boundaries cannot split ties. (The skeleton sweep emits
+            # ranks directly, in exact visit order.)
+            npart = max(self.spark.sparkContext.defaultParallelism, 4)
+            ranked = (visits.repartitionByRange(npart, "prio")
+                      .withColumn("_pid", F.spark_partition_id())
+                      .localCheckpoint())  # pin pids across the two uses
+            cnt_rows = sorted(
+                (r["_pid"], r["n"]) for r in
+                ranked.groupBy("_pid").agg(F.count("*").alias("n"))
+                .collect())
+            offs, acc = [], 0
+            for pid, n_rows in cnt_rows:
+                offs.append((pid, acc))
+                acc += n_rows
+            off_df = self.spark.createDataFrame(
+                offs or [(0, 0)], "_pid int, _off long")
+            visits = (ranked.join(F.broadcast(off_df), "_pid")
+                      .withColumn(
+                          "visit_rank",
+                          (F.row_number().over(
+                              Window.partitionBy("_pid").orderBy("prio"))
+                           - 1 + F.col("_off")).cast("long"))
+                      .drop("_pid", "_off"))
         # politeness schedule: k-th visit of host h → batch k//cap(h).
         # DISTRIBUTED: the window partitions by host (ordering within
         # a host by prio ≡ visit order), so the only serial artifact

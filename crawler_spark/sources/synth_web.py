@@ -114,9 +114,19 @@ def generate_bench_web(out_dir: str, n_pages: int = 1_000_000,
         th = ((link_host % n_clusters)
               + n_clusters * (splitmix64(lh ^ _U64(0x5555))
                               % _U64(q)).astype(np.int64))
+        # a host can be EMPTY at small n_pages/n_hosts ratios (page →
+        # host assignment is hashed); host_count's min-1 clamp would
+        # then silently index the NEXT host's pages, breaking the
+        # in-cluster invariant the parallel-sweep bench depends on.
+        # Retarget empty picks to the source's own host — same
+        # cluster by construction, nonempty (the source lives there).
+        host_size = host_ends - host_starts
+        th = np.where(host_size[th] == 0, link_host, th)
         pos2 = (splitmix64(lh ^ _U64(0x9999))
                 % host_count[th].astype(_U64)).astype(np.int64)
         cross_target = order[host_starts[th] + pos2]
+        assert (host_id[cross_target] % n_clusters
+                == link_host % n_clusters).all()
     else:
         cross_target = (splitmix64(lh ^ _U64(0x5555)) % _U64(n_pages)
                         ).astype(np.int64)

@@ -39,8 +39,18 @@ def main() -> None:
     ap.add_argument("--rate-limit", type=int, default=10)
     ap.add_argument("--sample-mode", action="store_true")
     ap.add_argument("--restrict-domains", action="store_true")
+    def _header(h: str) -> tuple[str, str]:
+        # validate at the CLI boundary: a value without ':' would
+        # otherwise surface far later as a malformed manifest entry
+        # and a ValueError inside fetch_headers()
+        if ":" not in h:
+            raise argparse.ArgumentTypeError(
+                f"expected K:V, got {h!r}")
+        k, v = h.split(":", 1)
+        return k.strip(), v.strip()
+
     ap.add_argument("--header", action="append", default=[],
-                    metavar="K:V",
+                    metavar="K:V", type=_header,
                     help="extra HTTP header applied to every fetch "
                     "(repeatable; reference customHeaders, "
                     "crawler-engine.ts:565-566)")
@@ -105,8 +115,7 @@ def main() -> None:
     cfg = CrawlConfig(max_depth=args.max_depth, rate_limit=args.rate_limit,
                       sample_mode=args.sample_mode,
                       restrict_domains=args.restrict_domains,
-                      custom_headers=tuple(
-                          tuple(h.split(":", 1)) for h in args.header))
+                      custom_headers=tuple(args.header))
     eng = FrontierEngine(spark, cfg, args.web, args.ckpt,
                          enforce_politeness=args.politeness,
                          use_bloom=args.bloom,

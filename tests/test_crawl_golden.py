@@ -594,6 +594,97 @@ def test_cursor_spill_matches_pandas(spark, tmp_path):
     assert got2 == exp2
 
 
+def test_resolve_timings_disjoint_per_call(spark, tmp_path):
+    """Two consecutive resolve() calls on one engine must each report
+    their OWN step breakdown — no key carried over from the previous
+    strategy's run, and no accumulated seconds (the timing
+    double-count bug class ADVICE flagged in round 4). Each call's
+    numeric steps must sum to no more than that call's wall time."""
+    import time as _time
+
+    cfg = CrawlConfig(max_depth=3)
+    eng = FrontierEngine(spark, cfg, FIXDIR,
+                         fresh_ckpt(str(tmp_path / "tmg")))
+    eng.explore()
+
+    t0 = _time.time()
+    n1 = eng.resolve().count()
+    w1 = _time.time() - t0
+    s1 = dict(eng.timings)
+
+    t0 = _time.time()
+    n2 = eng.resolve(strategy="sharded", n_shards=2).count()
+    w2 = _time.time() - t0
+    s2 = dict(eng.timings)
+
+    assert n1 == n2
+    # skeleton-only steps must not leak into the sharded breakdown
+    assert "csr_pass" not in s2
+    # diagnostics that are not wall-seconds of the call
+    not_secs = {"shard_overlap", "shard_resweeps", "sweep_impl",
+                "shard_sweeps"}
+    for steps, wall in ((s1, w1), (s2, w2)):
+        tot = sum(v for k, v in steps.items()
+                  if k not in not_secs
+                  and isinstance(v, (int, float))
+                  and not isinstance(v, bool))
+        assert tot <= wall + 1.0, (tot, wall, steps)
+
+
+def test_group_skewed_bootstrap_spill_resume(spark, tmp_path):
+    """Regression: a GROUP-SKEWED bootstrap spill (one mega-host
+    freezing more ROWS than cursor_spill_rows across only a handful of
+    (host, salt) GROUPS) leaves a spilled cursor whose row count is
+    far BELOW the cap. Resume used to pick the cursor mode by row
+    count alone, load the spilled-mode compact dirs registry into the
+    pandas path, and crash on the next advance's ['host', 'salt']
+    merge (KeyError). Mode is now detected from the persisted
+    registry's shape; the resumed crawl must stay in spilled mode and
+    still match the oracle row-for-row."""
+    import glob
+
+    def link(i, href):
+        return dict(href=href, label=f"l{i}", selector=f"a.l{i}",
+                    element_type="a", pos_x=0, pos_y=0, link_index=i)
+
+    def page(url, hrefs):
+        host = url.split("/")[2]
+        return dict(url=url, host=host, status_code=200,
+                    title=f"T {url}", meta_description="", text_content="",
+                    headings=[], links=[link(i, h)
+                                        for i, h in enumerate(hrefs)],
+                    images=[], forms=[], load_time_ms=10)
+
+    fix = str(tmp_path / "mega-fix")
+    os.makedirs(fix)
+    kids = [f"http://mega.test/p{i:03d}" for i in range(80)]
+    pages = ([page("http://seed.test/s0", kids)]
+             + [page(u, []) for u in kids])
+    _write_web_tables(fix, pages, ["http://seed.test/s0"])
+
+    cfg = CrawlConfig(max_depth=2, rate_limit=2)
+    ck = fresh_ckpt(str(tmp_path / "mega-ck"))
+    eng1 = FrontierEngine(spark, cfg, fix, ck, enforce_politeness=True,
+                          cursor_spill_rows=30)
+    eng1.explore(max_rounds=4)            # interrupt mid-drain
+    assert eng1._cursor_spark, "bootstrap spill never engaged"
+    assert not eng1._state()["done"]
+    # the trigger shape: spilled cursor holds one row per (host, salt)
+    # group — far fewer rows than the cap that tripped the spill
+    last_cp = sorted(glob.glob(os.path.join(ck, "cursor",
+                                            "round=*.parquet")))[-1]
+    assert FrontierEngine._parquet_rows(last_cp) <= 30
+
+    eng2 = FrontierEngine(spark, cfg, fix, ck, enforce_politeness=True,
+                          cursor_spill_rows=30)
+    visits = eng2.run()
+    assert eng2._cursor_spark, "resume fell back to pandas mode"
+    got = [_visit_tuple_engine(r)
+           for r in visits.orderBy("visit_rank").collect()]
+    exp = [_visit_tuple_oracle(v) for v in run_oracle(fix, cfg).visits]
+    assert got == exp
+
+
 @pytest.mark.slow
 def test_cursor_spill_mode_equivalence_bench_web(spark, tmp_path):
     """Deferral-heavy synthetic web (hundreds of freezing hosts):
