@@ -14,9 +14,10 @@ Nodes are DENSE int32 ids (the engine dictionary-encodes url-hashes
 against a Spark-sorted node table, then `np.searchsorted` maps the
 edge arrays — all linear scans). Dense ids turn the sweep's two hash
 tables into direct-indexed arrays: the random-access working set for
-N nodes is ~8N bytes (mostly L3-resident) instead of the ~64N-byte
-open-addressing walk of the round-1 kernel, which was memory-bound at
-3-25 s per 10M edges. At >2^31 nodes the ids outgrow int32 — past
+N nodes is ~4.125N bytes (a 4 B/node CSR index + a 1-bit/node claimed
+bitmap, mostly L3-resident) instead of the ~64N-byte open-addressing
+walk of the round-1 kernel, which was memory-bound at 3-25 s per 10M
+edges. At >2^31 nodes the ids outgrow int32 — past
 that scale the engine's implemented exact path is the distributed
 fixpoint strategy (engine/frontier.py:resolve), not this kernel.
 
@@ -67,20 +68,29 @@ _C_SRC = r"""
 
 typedef struct { int32_t id; int32_t depth; int64_t parent_rank; int32_t li; } frame;
 
-/* Resumable sweep: rank_of[] is CALLER-owned persistent claim state
-   (init to -1 once; survives across shard calls so seed-branch shards
-   sweep against the claims of earlier shards), rank0 is the global
-   rank of this call's first claim. Returns the number of claims made
-   BY THIS CALL (outputs are call-local arrays; parent_rank is the
-   GLOBAL rank). -2 on allocation failure. seed_counts (optional,
-   NULL to skip): cumulative claim count after each seed's subtree —
-   the per-seed segment boundaries the optimistic parallel-shard
-   validator needs to accept a conflict-free seed prefix. */
+#define CLAIM_GET(b, i) ((b[(int64_t)(i) >> 3] >> ((i) & 7)) & 1)
+#define CLAIM_SET(b, i) (b[(int64_t)(i) >> 3] |= (uint8_t)(1u << ((i) & 7)))
+
+/* Resumable sweep: claimed[] is CALLER-owned persistent claim state —
+   a BITMAP of ceil(n_nodes/8) bytes (init to 0 once; survives across
+   shard calls so seed-branch shards sweep against the claims of
+   earlier shards). The sweep only ever needs claim MEMBERSHIP (ranks
+   are assigned from the running counter and parent ranks always point
+   into the same call's output), so 1 bit/node replaces the former
+   4 B/node rank array — 32x less driver state at the 10^10-node
+   posture, and denser = more cache-resident for the random probes.
+   rank0 is the global rank of this call's first claim. Returns the
+   number of claims made BY THIS CALL (outputs are call-local arrays;
+   parent_rank is the GLOBAL rank). -2 on allocation failure.
+   seed_counts (optional, NULL to skip): cumulative claim count after
+   each seed's subtree — the per-seed segment boundaries the
+   optimistic parallel-shard validator needs to accept a
+   conflict-free seed prefix. */
 int64_t dfs_sweep_dense_resume(
     int64_t n_edges, const int32_t *c, const int32_t *li,
     int64_t m, const int32_t *uniq_p, const int64_t *starts,
     int64_t n_seeds, const int32_t *seeds, int32_t maxd,
-    int64_t n_nodes, int32_t *rank_of, int64_t rank0,
+    int64_t n_nodes, uint8_t *claimed, int64_t rank0,
     int32_t *out_id, int32_t *out_depth, int64_t *out_parent_rank,
     int32_t *out_li, int64_t *seed_counts)
 {
@@ -98,8 +108,8 @@ int64_t dfs_sweep_dense_resume(
         st[sp++] = f0;
         while (sp > 0) {
             frame f = st[--sp];
-            if (rank_of[f.id] >= 0) continue;          /* already claimed */
-            rank_of[f.id] = (int32_t)rank;
+            if (CLAIM_GET(claimed, f.id)) continue;    /* already claimed */
+            CLAIM_SET(claimed, f.id);
             out_id[n_out] = f.id; out_depth[n_out] = f.depth;
             out_parent_rank[n_out] = f.parent_rank; out_li[n_out] = f.li;
             int64_t my_rank = rank++;
@@ -110,7 +120,7 @@ int64_t dfs_sweep_dense_resume(
             for (int64_t k = starts[pj + 1] - 1; k >= starts[pj]; k--) {
                 int32_t ch = c[k];
                 if (ch < 0) continue;                  /* dead edge */
-                if (rank_of[ch] >= 0) continue;        /* already claimed */
+                if (CLAIM_GET(claimed, ch)) continue;  /* already claimed */
                 frame nf = {ch, f.depth + 1, my_rank, li[k]};
                 st[sp++] = nf;
             }
@@ -129,15 +139,23 @@ int64_t dfs_sweep_dense(
     int32_t *out_id, int32_t *out_depth, int64_t *out_parent_rank,
     int32_t *out_li)
 {
-    int32_t *rank_of = (int32_t *)malloc((size_t)n_nodes * 4);
-    if (!rank_of) return -1;
-    memset(rank_of, 0xff, (size_t)n_nodes * 4);   /* all -1 */
+    uint8_t *claimed = (uint8_t *)calloc((size_t)((n_nodes + 7) >> 3), 1);
+    if (!claimed) return -1;
     int64_t n = dfs_sweep_dense_resume(
         n_edges, c, li, m, uniq_p, starts, n_seeds, seeds, maxd,
-        n_nodes, rank_of, 0, out_id, out_depth, out_parent_rank, out_li,
+        n_nodes, claimed, 0, out_id, out_depth, out_parent_rank, out_li,
         (int64_t *)0);
-    free(rank_of);
+    free(claimed);
     return n < 0 ? -1 : n;
+}
+
+/* Bulk-mark ids claimed in the bitmap — the parallel-shard
+   validator's accept path (ids are a validated shard's claims; a
+   numpy scatter can't OR into shared bytes without ufunc.at, which
+   is an order of magnitude slower than this loop). */
+void mark_claimed(int64_t n, const int32_t *ids, uint8_t *claimed)
+{
+    for (int64_t k = 0; k < n; k++) CLAIM_SET(claimed, ids[k]);
 }
 
 /* dictionary-encode int64 keys against a sorted table: out[k] = index
@@ -270,13 +288,16 @@ def _load_lib():
             ctypes.c_int64, i32p, ctypes.c_int32,
             ctypes.c_int64,
             i32p, i32p, i64p, i32p]
+        u8p_ = ctypes.POINTER(ctypes.c_uint8)
         lib.dfs_sweep_dense_resume.restype = ctypes.c_int64
         lib.dfs_sweep_dense_resume.argtypes = [
             ctypes.c_int64, i32p, i32p,
             ctypes.c_int64, i32p, i64p,
             ctypes.c_int64, i32p, ctypes.c_int32,
-            ctypes.c_int64, i32p, ctypes.c_int64,
+            ctypes.c_int64, u8p_, ctypes.c_int64,
             i32p, i32p, i64p, i32p, i64p]
+        lib.mark_claimed.restype = None
+        lib.mark_claimed.argtypes = [ctypes.c_int64, i32p, u8p_]
         lib.encode_ids.restype = None
         lib.encode_ids.argtypes = [ctypes.c_int64, i64p,
                                    ctypes.c_int64, i64p, i32p]
@@ -437,6 +458,32 @@ def csr_runlength(p):
     return uniq[:m].copy(), starts[:m + 1].copy()
 
 
+def claimed_mask(bits, ids):
+    """Vectorized claim-membership test against a claimed bitmap:
+    returns uint8[len(ids)] with 1 where ids[k] is set in `bits`."""
+    ids = np.asarray(ids)
+    return (bits[ids >> 3] >> (ids & 7).astype(np.uint8)) & 1
+
+
+def mark_claimed(bits, ids):
+    """Bulk-set ids in the claimed bitmap in place. C loop when a
+    toolchain exists; np.bitwise_or.at fallback (a plain fancy-index
+    OR would silently drop ids sharing a byte)."""
+    ids = np.ascontiguousarray(ids, np.int32)
+    if not len(ids):
+        return
+    lib = _load_lib()
+    if lib is not None:
+        lib.mark_claimed(
+            len(ids),
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    else:
+        np.bitwise_or.at(
+            bits, ids >> 3,
+            (np.uint8(1) << (ids & 7).astype(np.uint8)))
+
+
 _HEX_W = 4  # hex digits per priority-vector level (file format)
 
 
@@ -538,37 +585,42 @@ class SweepState:
     arrive in seed-rank order, each sweep claims against everything
     earlier shards claimed (DFS claims under seed rank r never depend
     on later seeds, so per-shard sweeps with shared state reproduce
-    the global sweep exactly). State is 4 B/node (the rank_of array);
-    the per-shard EDGE arrays — the memory hog at web scale — are
-    bounded by the largest shard, not the web. Picks the C kernel or
-    the pure-Python twin once per process (mixing them would be fine
-    semantically — both implement the same contract — but keeping one
-    makes `impl` reporting truthful)."""
+    the global sweep exactly). State is 1 BIT/node (a claimed bitmap —
+    the sweep only consumes claim membership, never a stored rank, so
+    the former 4 B/node rank array was 32x oversized: at the
+    10^10-node posture the bitmap is ~1.25 GB of driver RAM and
+    nothing else node-indexed survives on the driver). The per-shard
+    EDGE arrays — the memory hog at web scale — are bounded by the
+    largest shard, not the web. Picks the C kernel or the pure-Python
+    twin once per process (mixing them would be fine semantically —
+    both implement the same contract — but keeping one makes `impl`
+    reporting truthful)."""
 
-    def __init__(self, n_nodes: int, rank_of=None, rank: int = 0):
-        """`rank_of`/`rank` (optional): ADOPT an existing claim state
+    def __init__(self, n_nodes: int, claimed=None, rank: int = 0):
+        """`claimed`/`rank` (optional): ADOPT an existing claim state
         instead of starting empty — the parallel-shard validator owns
-        one shared rank_of array and hands it to a fresh state for
+        one shared claimed bitmap and hands it to a fresh state for
         each conflict re-sweep (C kernel only: the py fallback keeps
-        claims in a dict, which an external int32 array can't seed
+        claims in a dict, which an external bitmap can't seed
         cheaply)."""
         self.n_nodes = int(n_nodes)
         self.rank = int(rank)
         self._lib = _load_lib()
         if self._lib is not None:
             self.impl = "c"
-            if rank_of is not None:
-                assert (rank_of.dtype == np.int32
-                        and rank_of.flags["C_CONTIGUOUS"]
-                        and len(rank_of) == self.n_nodes)
-                self.rank_of = rank_of
+            if claimed is not None:
+                assert (claimed.dtype == np.uint8
+                        and claimed.flags["C_CONTIGUOUS"]
+                        and len(claimed) == (self.n_nodes + 7) // 8)
+                self.claimed_bits = claimed
             else:
-                self.rank_of = np.full(self.n_nodes, -1, np.int32)
+                self.claimed_bits = np.zeros((self.n_nodes + 7) // 8,
+                                             np.uint8)
         else:
             self.impl = "py"
-            if rank_of is not None:
+            if claimed is not None:
                 raise ValueError(
-                    "SweepState rank_of adoption requires the C kernel")
+                    "SweepState claim-state adoption requires the C kernel")
             self.claimed: dict[int, int] = {}
 
     def _sweep_shard_c(self, c_sorted, i_sorted, uniq_p, starts, seeds,
@@ -598,7 +650,10 @@ class SweepState:
             n_edges, p32(c_sorted), p32(i_sorted),
             len(uniq_p), p32(uniq_p), p64(starts),
             len(seeds), p32(seeds), max_depth,
-            self.n_nodes, p32(self.rank_of), self.rank,
+            self.n_nodes,
+            self.claimed_bits.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint8)),
+            self.rank,
             p32(out_id), p32(out_depth), p64(out_parent), p32(out_li),
             None if seed_counts is None else p64(seed_counts))
         if n < 0:

@@ -2018,15 +2018,15 @@ class FrontierEngine:
         BFS-reachable from the shard's seeds within max_depth — a
         conservative superset of what its DFS can traverse, computed
         DISTRIBUTED by ≤max_depth labeled frontier joins) is collected
-        and swept alone, with the claim state (4 B/node rank_of)
-        persisting across shards so later shards skip earlier claims
-        exactly like the global sweep would. Driver memory is bounded
-        by the LARGEST SHARD's edge set (+ the 4 B/node claim state —
-        the only remaining node-indexed driver array; claims are
-        written as dense ids and the id→url mapping rides the
-        distributed rejoin in _claims_to_visits), not the web: at
-        10^10 edges the global skeleton is ~200 GB of driver RAM
-        while 64-way sharding needs only the largest branch. The trade is duplicated edge labeling where
+        and swept alone, with the claim state (a 1-bit/node claimed
+        bitmap) persisting across shards so later shards skip earlier
+        claims exactly like the global sweep would. Driver memory is
+        bounded by the LARGEST SHARD's edge set (+ the bitmap — the
+        only remaining node-indexed driver state, ~1.25 GB at 10^10
+        nodes; claims are written as dense ids and the id→url mapping
+        rides the distributed rejoin in _claims_to_visits), not the
+        web: at 10^10 edges the global skeleton is ~200 GB of driver
+        RAM while 64-way sharding needs only the largest branch. The trade is duplicated edge labeling where
         shard subgraphs overlap — distributed compute paid to bound
         sequential memory. Produces claims row-for-row equal to
         strategy='skeleton' (pinned in tests/test_crawl_golden.py)."""
@@ -2196,8 +2196,8 @@ class FrontierEngine:
         if (shard_procs > 1 and len(order) > 1
                 and _load_lib() is not None):
             # parallel optimistic sweeps + sequential validation (C
-            # kernel required: the validator adopts the shared rank_of
-            # array for conflict re-sweeps)
+            # kernel required: the validator adopts the shared claimed
+            # bitmap for conflict re-sweeps)
             return self._sweep_shards_parallel(
                 order, shard_seed_ids, sharded_path, nodes_path,
                 seed_rows, seeds, _load_shard, shard_procs, nodes_id)
@@ -2255,7 +2255,7 @@ class FrontierEngine:
           * every shard is swept OPTIMISTICALLY (empty claim state)
             in a forked worker — all shards concurrently, bounded by
             `shard_procs` workers (driver memory: one shard edge set +
-            one rank_of per LIVE worker);
+            one claimed bitmap per LIVE worker);
           * the parent consumes results in seed-rank order and
             validates each against the true global claim state: claims
             disjoint from everything earlier ⇒ the optimistic sweep is
@@ -2277,7 +2277,8 @@ class FrontierEngine:
         import numpy as np
         from concurrent.futures import ProcessPoolExecutor
 
-        from ..core.dfs_kernel import SweepState
+        from ..core.dfs_kernel import (SweepState, claimed_mask,
+                                       mark_claimed)
 
         t0 = time.time()
         _, n_nodes = _node_offsets(nodes_path)
@@ -2286,7 +2287,9 @@ class FrontierEngine:
         claims_path = self._paths("claims")
         shutil.rmtree(claims_path, ignore_errors=True)
         seed_prio = {int(r["id"]): r["prio"].encode() for r in seed_rows}
-        rank_of = np.full(n_nodes, -1, np.int32)
+        # the true global claim state: a 1-bit/node bitmap (claim
+        # MEMBERSHIP is all the validator and the resweeps consume)
+        claimed = np.zeros((n_nodes + 7) // 8, np.uint8)
         rank = 0
         shard_secs: list[float] = []
         resweeps = 0
@@ -2310,7 +2313,7 @@ class FrontierEngine:
                 sweep_impl = impl
                 shard_secs.append(wall)
                 rank0_shard = rank
-                conflict = (np.flatnonzero(rank_of[out_id] >= 0)
+                conflict = (np.flatnonzero(claimed_mask(claimed, out_id))
                             if n else np.empty(0, np.int64))
                 if len(conflict) == 0:
                     acc = n
@@ -2328,8 +2331,7 @@ class FrontierEngine:
                 if acc:
                     a_pr = out_pr[:acc].copy()
                     a_pr[a_pr >= 0] += rank0_shard
-                    rank_of[out_id[:acc]] = np.arange(
-                        rank, rank + acc, dtype=np.int32)
+                    mark_claimed(claimed, out_id[:acc])
                     rank += acc
                     parts.append((out_id[:acc], out_depth[:acc], a_pr,
                                   out_li[:acc]))
@@ -2338,7 +2340,7 @@ class FrontierEngine:
                     c_id, i_sorted, uniq_p, bounds = load_shard(s)
                     rest = np.asarray(
                         shard_seed_ids[s][reseed_from:], np.int32)
-                    st = SweepState(n_nodes, rank_of=rank_of, rank=rank)
+                    st = SweepState(n_nodes, claimed=claimed, rank=rank)
                     n2, r_id, r_depth, r_pr, r_li = st.sweep_shard(
                         c_id, i_sorted, uniq_p, bounds, rest, max_depth)
                     rank = st.rank
@@ -2378,8 +2380,8 @@ class FrontierEngine:
         table the skeleton was encoded with. The former approach
         gathered hashes through a driver-resident 8 B/node id→hash
         array (node_arr) — ~80 GB at the 10^10-URL posture; dense
-        ids remove that array entirely, leaving rank_of (4 B/node)
-        as the sweep's only node-indexed driver state.
+        ids remove that array entirely, leaving the 1-bit/node
+        claimed bitmap as the sweep's only node-indexed driver state.
 
         The priority VECTOR of every claim is emitted here too —
         prio(claim) = prio(parent) ++ hex4(link_index) — rebuilt
