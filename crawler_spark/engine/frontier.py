@@ -51,6 +51,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import sys
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2544,6 +2545,10 @@ class FrontierEngine:
             claims = new_claims
             self.last_resolve_iters = it + 1
             self.resolve_deltas.append(delta)
+            if os.environ.get("SPARK_GRAFT_FIXPOINT_PROGRESS"):
+                print(f"# fixpoint round {it + 1}: delta={delta} "
+                      f"minp_len={len(ch['minp'] or '')}",
+                      file=sys.stderr, flush=True)
             if delta == 0:
                 break
         else:

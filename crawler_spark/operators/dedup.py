@@ -206,19 +206,29 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     # band digest = native multi-arg xxhash64 over the band's `rows`
     # signature longs (fixed-width chaining — no per-band string
     # concat + re-hash). Twin: oracle/text_oracle.py:band_digest.
+    # The banded rows and the candidate dedup carry ONLY (id, band,
+    # digest) — the 64-long signature arrays are re-attached by two
+    # keyed joins AFTER the distinct. Carrying the arrays through the
+    # band join + distinct made each in-flight row ~1 KB; with many
+    # concurrent tasks the per-task sort memory shrank enough to
+    # spill, and the stage measured 2.6x SLOWER at 32 cores than at 8
+    # on a 480k-doc corpus. Ids-only dedup + signature rejoin scales
+    # with cores and shuffles ~100x fewer bytes.
     banded = sig.select(
-        "id", "signature",
+        "id",
         F.posexplode(F.array(*[
             F.xxhash64(*[F.element_at("signature", b * rows + r + 1)
                          for r in range(rows)])
             for b in range(bands)])).alias("band_id", "digest"))
-    a = banded.select(F.col("id").alias("id_a"),
-                      F.col("signature").alias("sig_a"), "band_id", "digest")
-    b = banded.select(F.col("id").alias("id_b"),
-                      F.col("signature").alias("sig_b"), "band_id", "digest")
+    a = banded.select(F.col("id").alias("id_a"), "band_id", "digest")
+    b = banded.select(F.col("id").alias("id_b"), "band_id", "digest")
     cand = (a.join(b, ["band_id", "digest"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sig_a", "sig_b").distinct())
+            .select("id_a", "id_b").distinct()
+            .join(sig.select(F.col("id").alias("id_a"),
+                             F.col("signature").alias("sig_a")), "id_a")
+            .join(sig.select(F.col("id").alias("id_b"),
+                             F.col("signature").alias("sig_b")), "id_b"))
     est = F.size(F.filter(F.zip_with("sig_a", "sig_b",
                                      lambda x, y: x == y),
                           lambda m: m)) / F.size("sig_a")

@@ -57,10 +57,29 @@ def run_corpus(spark, docs_path: str, out: str,
                                                    subword_count, token_count)
 
     stats: dict[str, int] = {}
-    docs = spark.read.parquet(docs_path)
+    def _spread(df):
+        """Parquet scan parallelism is bounded by ROW GROUPS, not
+        maxPartitionBytes — a corpus written as one giant row group
+        (the sandbox testdata, single-file exports generally) makes
+        every scan-rooted stage a single task at any core count
+        (measured: identical corpus walls at 8 and 32 cores). One
+        up-front round-robin repartition restores parallelism for the
+        whole chain; real multi-file corpora skip it."""
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, par // 2):
+            return df.repartition(par)
+        return df
+
+    docs = _spread(spark.read.parquet(docs_path))
     stats["docs_in"] = docs.count()
 
-    # 1. features (one projection), 2. exact dedup on the fingerprint
+    # 1. features (one projection), 2. exact dedup on the fingerprint.
+    # localCheckpoint: three consumers follow (the MinHash dedup, the
+    # canonical write, the stats count) — without it each one re-runs
+    # the full feature projection + exact-dedup shuffle, so the
+    # feature pass executed ~4x per job (measured in the round-5
+    # scaling pair; the recompute was also most of the job's
+    # core-count-independent latency floor).
     feat = (docs
             .withColumn("lang", lang_id("text"))
             .withColumn("quality", quality_score("text"))
@@ -71,11 +90,13 @@ def run_corpus(spark, docs_path: str, out: str,
         feat = feat.filter(F.col("quality") >= min_quality)
     exact_keep = (feat.groupBy("fingerprint")
                   .agg(F.min("doc_id").alias("doc_id")))
-    feat = feat.join(exact_keep, ["fingerprint", "doc_id"])
+    feat = feat.join(exact_keep, ["fingerprint", "doc_id"]).localCheckpoint()
     stats["docs_after_exact"] = feat.count()
 
-    # 3. near-dup clusters -> canonical corpus
-    deduped = minhash_dedup(feat, threshold=minhash_threshold)
+    # 3. near-dup clusters -> canonical corpus (checkpointed once;
+    # consumed by two writes + the canonical count)
+    deduped = minhash_dedup(feat, threshold=minhash_threshold) \
+        .localCheckpoint()
     (deduped.select("doc_id", "canonical_id")
      .write.mode("overwrite").parquet(os.path.join(out, "doc_clusters")))
     canon = deduped.filter("is_canonical").drop("canonical_id",
@@ -84,8 +105,9 @@ def run_corpus(spark, docs_path: str, out: str,
     stats["docs_canonical"] = canon.count()
 
     if embeddings:
-        emb = spark.read.parquet(embeddings)
-        ve = embedding_dedup(emb, threshold=cosine_threshold)
+        emb = _spread(spark.read.parquet(embeddings))
+        ve = embedding_dedup(emb, threshold=cosine_threshold) \
+            .localCheckpoint()
         (ve.select("vec_id", "canonical_id", "is_canonical")
          .write.mode("overwrite")
          .parquet(os.path.join(out, "vec_clusters")))
@@ -98,9 +120,12 @@ def run_corpus(spark, docs_path: str, out: str,
         imgs = spark.read.parquet(images)
         if "phash" not in imgs.columns:
             # raw bytes table — decode and hash in Arrow batches first
+            # (checkpointed: the dedup + count below must not re-run
+            # the Arrow decode pass)
             imgs = (decode_and_phash(imgs).filter("dec_ok")
-                    .withColumnRenamed("phash_dec", "phash"))
-        ie = phash_dedup(imgs, max_hamming=max_hamming)
+                    .withColumnRenamed("phash_dec", "phash")
+                    .localCheckpoint())
+        ie = phash_dedup(imgs, max_hamming=max_hamming).localCheckpoint()
         (ie.select("image_id", "canonical_id", "is_canonical")
          .write.mode("overwrite")
          .parquet(os.path.join(out, "image_clusters")))
