@@ -35,20 +35,39 @@ def _marker_hits(toks: Column, lang: str) -> Column:
 
 def lang_id(text: Column | str) -> Column:
     """Heuristic language guess: argmax of marker-stopword hit counts
-    (ties broken by fixed language order en>de>fr>es), 'unk' when no
-    marker hits. Pure column expr — a groupless scalar classifier."""
+    (ties broken by fixed language order en>de>fr>es — array_position
+    returns the FIRST index of the max, which is exactly the
+    earlier-lang-wins-ties / later-must-strictly-exceed rule), 'unk'
+    when no marker hits. Pure column expr — a groupless scalar
+    classifier.
+
+    Shape note: the token array and the per-language hit vector are
+    each bound ONCE via a lambda scope (transform over a singleton).
+    The previous when-chain argmax embedded the running best-score
+    tree twice per level — the regex tokenization subtree ended up
+    inlined ~2^|langs| times, and the corpus feature stage was
+    allocation-bound on exactly that (79→120 s going 8→32 threads on
+    one heap; see BASELINE.md round-5 corpus section)."""
     text = F.col(text) if isinstance(text, str) else text
     toks = tokens_col(text, distinct=False)
-    scores = [(lang, _marker_hits(toks, lang)) for lang in LANG_MARKERS]
-    best = None
-    for lang, s in scores:
-        if best is None:
-            best, best_s = F.lit(lang), s
-        else:
-            cond = s > best_s
-            best = F.when(cond, F.lit(lang)).otherwise(best)
-            best_s = F.when(cond, s).otherwise(best_s)
-    return F.when(best_s > 0, best).otherwise(F.lit("unk"))
+    langs = F.array(*[F.lit(lang) for lang in LANG_MARKERS])
+
+    def pick(ts: Column) -> Column:
+        hits = F.array(*[
+            F.size(F.filter(ts, lambda t: t.isin(*LANG_MARKERS[lang])))
+            for lang in LANG_MARKERS])
+
+        def argmax(hs: Column) -> Column:
+            mx = F.array_max(hs)
+            return F.when(
+                mx > 0,
+                F.element_at(langs,
+                             F.array_position(hs, mx).cast("int"))
+            ).otherwise(F.lit("unk"))
+
+        return F.transform(F.array(hits), argmax)[0]
+
+    return F.transform(F.array(toks), pick)[0]
 
 
 def token_count(text: Column | str) -> Column:
@@ -97,12 +116,33 @@ def quality_score(text: Column | str) -> Column:
     """Composite [0,1] quality score from the features: rewards
     mid-length docs with healthy stopword presence, penalizes
     punctuation soup. Weighted sum of clamped signals (the standard
-    hand-rolled pre-filter before model-based scoring)."""
-    f = quality_features(text)
-    len_term = F.least(f["n_tokens"] / F.lit(200.0), F.lit(1.0))
-    stop_term = F.least(f["stopword_ratio"] * 5.0, F.lit(1.0))
-    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - f["punct_ratio"] * 10.0)
-    return F.round(0.4 * len_term + 0.3 * stop_term + 0.3 * punct_pen, 6)
+    hand-rolled pre-filter before model-based scoring).
+
+    The token array is bound ONCE via a lambda scope — going through
+    quality_features() referenced the tokenization subtree ~6 times
+    (n_tokens in three terms, the stopword filter, the ratio guards),
+    and Catalyst inlines each reference. Formulas are kept
+    term-for-term identical to quality_features' definitions, so the
+    score is bit-stable vs the DuckDB oracle."""
+    text = F.col(text) if isinstance(text, str) else text
+    toks = tokens_col(text, distinct=False)
+    punct_ratio_num = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    n_char = F.length(text)
+
+    def score(ts: Column) -> Column:
+        n_tok = F.size(ts)
+        n_stop = F.size(F.filter(ts, lambda t: t.isin(*EN_STOPWORDS)))
+        stopword_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0)
+        punct_ratio = F.when(n_char > 0,
+                             punct_ratio_num / n_char).otherwise(0.0)
+        len_term = F.least(n_tok / F.lit(200.0), F.lit(1.0))
+        stop_term = F.least(stopword_ratio * 5.0, F.lit(1.0))
+        punct_pen = F.greatest(F.lit(0.0),
+                               F.lit(1.0) - punct_ratio * 10.0)
+        return F.round(0.4 * len_term + 0.3 * stop_term
+                       + 0.3 * punct_pen, 6)
+
+    return F.transform(F.array(toks), score)[0]
 
 
 def doc_fingerprint(text: Column | str) -> Column:
